@@ -1,0 +1,315 @@
+"""Core shared types — the TPU-native analog of the reference's shared ABI header.
+
+Mirrors the host/shader struct vocabulary of the reference
+(``MetalRaytracing/ShaderTypes.h:26-170``): ``Camera``, ``Light`` (+ the four
+light types), ``Material`` (+ texture-flag bits), and ``Uniforms``.
+
+TPU-first redesign notes
+------------------------
+* Device-resident state is SoA (structure-of-arrays) pytrees built from
+  ``NamedTuple`` so they flow through ``jax.jit`` / ``shard_map`` untouched.
+* The reference's single ``Uniforms`` struct (ShaderTypes.h:108-130) splits in
+  two here: values that change *shapes or trace structure* live in the
+  hashable ``RenderSettings`` (static argument to ``jax.jit`` — the analog of
+  Metal function constants, Renderer.swift:308-315), while per-frame scalars
+  live in the ``FrameUniforms`` pytree so knob changes never recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# --- geometry / ray masks (ShaderTypes.h:26-33) --------------------------------
+GEOMETRY_MASK_TRIANGLE = 1
+GEOMETRY_MASK_LIGHT = 2
+GEOMETRY_MASK_GEOMETRY = GEOMETRY_MASK_TRIANGLE
+RAY_MASK_PRIMARY = GEOMETRY_MASK_GEOMETRY | GEOMETRY_MASK_LIGHT
+RAY_MASK_SHADOW = GEOMETRY_MASK_GEOMETRY
+RAY_MASK_SECONDARY = GEOMETRY_MASK_GEOMETRY
+
+# --- light types (ShaderTypes.h:87-93) ------------------------------------------
+LIGHT_TYPE_UNUSED = 0
+LIGHT_TYPE_SUNLIGHT = 1
+LIGHT_TYPE_SPOTLIGHT = 2
+LIGHT_TYPE_POINTLIGHT = 3
+LIGHT_TYPE_AREA = 4
+
+# --- shading modes (ShaderTypes.h:132-135) ---------------------------------------
+SHADING_MODE_PBR = 0
+SHADING_MODE_LEGACY = 1
+
+# --- material texture-flag bits (ShaderTypes.h:147-153) --------------------------
+MATERIAL_TEXTURE_BASECOLOR = 1 << 0
+MATERIAL_TEXTURE_NORMAL = 1 << 1
+MATERIAL_TEXTURE_ROUGHNESS = 1 << 2
+MATERIAL_TEXTURE_METALLIC = 1 << 3
+MATERIAL_TEXTURE_AO = 1 << 4
+MATERIAL_TEXTURE_EMISSION = 1 << 5
+MATERIAL_TEXTURE_OPACITY = 1 << 6
+
+# --- debug texture modes (ShaderTypes.h:159-168) ---------------------------------
+DEBUG_MODE_NONE = 0
+DEBUG_MODE_BASECOLOR = 1
+DEBUG_MODE_NORMAL = 2
+DEBUG_MODE_ROUGHNESS = 3
+DEBUG_MODE_METALLIC = 4
+DEBUG_MODE_AO = 5
+DEBUG_MODE_EMISSION = 6
+DEBUG_MODE_MOTION = 7
+
+# Compile-time AO gate, default off (ShaderTypes.h:155-157).
+ENABLE_AO = False
+
+
+class Camera(NamedTuple):
+    """Pinhole camera (ShaderTypes.h:80-85).
+
+    ``right``/``up`` are pre-scaled by the image-plane half extents exactly as
+    in ``Scene.makeOrbitCamera`` (Scene.swift:126-159), so ray generation is
+    ``normalize(u*right + v*up + forward)`` with u,v in [-1, 1].
+    """
+
+    position: jnp.ndarray  # (3,) f32
+    right: jnp.ndarray  # (3,) f32, scaled by image-plane half width
+    up: jnp.ndarray  # (3,) f32, scaled by image-plane half height
+    forward: jnp.ndarray  # (3,) f32, unit
+
+
+class Lights(NamedTuple):
+    """SoA light array (ShaderTypes.h:95-106). Leading dim = light count."""
+
+    type: jnp.ndarray  # (L,) int32
+    position: jnp.ndarray  # (L,3) f32
+    color: jnp.ndarray  # (L,3) f32
+    forward: jnp.ndarray  # (L,3) f32 (area)
+    right: jnp.ndarray  # (L,3) f32 (area)
+    up: jnp.ndarray  # (L,3) f32 (area)
+    cone_angle: jnp.ndarray  # (L,) f32 (spot)
+    direction: jnp.ndarray  # (L,3) f32 (spot/sun)
+
+    @property
+    def count(self) -> int:
+        return self.type.shape[0]
+
+
+def make_light(
+    type: int,
+    position=(0.0, 0.0, 0.0),
+    color=(0.0, 0.0, 0.0),
+    forward=(0.0, 0.0, 0.0),
+    right=(0.0, 0.0, 0.0),
+    up=(0.0, 0.0, 0.0),
+    cone_angle: float = 0.0,
+    direction=(0.0, 0.0, 0.0),
+) -> "Lights":
+    """Single light as an SoA batch of one (cf. Light factory helpers, Scene.swift:172-209)."""
+    f3 = lambda v: jnp.asarray(v, jnp.float32).reshape(1, 3)
+    return Lights(
+        type=jnp.asarray([type], jnp.int32),
+        position=f3(position),
+        color=f3(color),
+        forward=f3(forward),
+        right=f3(right),
+        up=f3(up),
+        cone_angle=jnp.asarray([cone_angle], jnp.float32),
+        direction=f3(direction),
+    )
+
+
+def area_light(position, forward, right, up, color) -> Lights:
+    """Scene.swift:173-182."""
+    return make_light(LIGHT_TYPE_AREA, position=position, color=color, forward=forward, right=right, up=up)
+
+
+def sun_light(direction, color) -> Lights:
+    """Scene.swift:184-190."""
+    return make_light(LIGHT_TYPE_SUNLIGHT, direction=direction, color=color)
+
+
+def point_light(position, color) -> Lights:
+    """Scene.swift:192-198."""
+    return make_light(LIGHT_TYPE_POINTLIGHT, position=position, color=color)
+
+
+def spot_light(position, direction, cone_angle, color) -> Lights:
+    """Scene.swift:200-208."""
+    return make_light(
+        LIGHT_TYPE_SPOTLIGHT, position=position, direction=direction, cone_angle=cone_angle, color=color
+    )
+
+
+def concat_lights(*lights: Lights) -> Lights:
+    return Lights(*(jnp.concatenate(parts, axis=0) for parts in zip(*lights)))
+
+
+class Materials(NamedTuple):
+    """SoA per-resource materials (ShaderTypes.h:137-145). Leading dim = resource count."""
+
+    base_color: jnp.ndarray  # (R,3) f32
+    specular: jnp.ndarray  # (R,3) f32
+    emission: jnp.ndarray  # (R,3) f32
+    specular_exponent: jnp.ndarray  # (R,) f32
+    refraction_index: jnp.ndarray  # (R,) f32
+    opacity: jnp.ndarray  # (R,) f32
+    texture_flags: jnp.ndarray  # (R,) uint32
+
+
+def default_materials(count: int) -> Materials:
+    """Material defaults as in SubMesh.swift:291-299 (ior=1, opacity=1, flags=0)."""
+    return Materials(
+        base_color=jnp.ones((count, 3), jnp.float32),
+        specular=jnp.zeros((count, 3), jnp.float32),
+        emission=jnp.zeros((count, 3), jnp.float32),
+        specular_exponent=jnp.zeros((count,), jnp.float32),
+        refraction_index=jnp.ones((count,), jnp.float32),
+        opacity=jnp.ones((count,), jnp.float32),
+        texture_flags=jnp.zeros((count,), jnp.uint32),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) render configuration.
+
+    The analog of Metal function constants + the loop-bound fields of
+    ``Uniforms`` (ShaderTypes.h:108-130). Hashable: passed as a static arg to
+    ``jax.jit``. Defaults mirror Renderer.swift:52-197.
+    """
+
+    width: int = 512
+    height: int = 512
+    samples_per_pixel: int = 2  # Renderer.swift:117
+    max_bounces: int = 2  # Renderer.swift:176
+    shading_mode: int = SHADING_MODE_PBR  # Renderer.swift:169
+    debug_mode: int = DEBUG_MODE_NONE
+    enable_gbuffer: bool = False  # denoiser G-buffer outputs
+    enable_motion_adaptive_sampling: bool = True  # Renderer.swift:151
+    motion_sampling_max_extra_samples: int = 2  # Renderer.swift:158
+    enable_motion_adaptive_accumulation: bool = True  # Renderer.swift:129
+    # Ray-batch tile size for the wavefront pipeline (pixels per tile).
+    tile_pixels: int = 65536
+
+    @property
+    def base_samples(self) -> int:
+        return max(self.samples_per_pixel, 1)
+
+    @property
+    def max_extra_samples(self) -> int:
+        if self.enable_motion_adaptive_sampling:
+            return max(self.motion_sampling_max_extra_samples, 0)
+        return 0
+
+    @property
+    def sample_stride(self) -> int:
+        """baseSamples + maxExtraSamples (Raytracing.metal:263-265)."""
+        return self.base_samples + self.max_extra_samples
+
+
+class FrameUniforms(NamedTuple):
+    """Per-frame traced scalars (the rest of ShaderTypes.h:108-130).
+
+    Changing any of these does NOT recompile the render step.
+    """
+
+    camera: Camera
+    previous_camera: Camera
+    frame_index: jnp.ndarray  # () int32
+    accumulation_weight: jnp.ndarray  # () f32, Renderer.swift:124
+    motion_accum_min_weight: jnp.ndarray  # () f32, default 0.1
+    motion_accum_low_px: jnp.ndarray  # () f32, default 0.5
+    motion_accum_high_px: jnp.ndarray  # () f32, default 4.0
+    motion_sampling_low_px: jnp.ndarray  # () f32, default 1.0
+    motion_sampling_high_px: jnp.ndarray  # () f32, default 6.0
+
+
+def make_frame_uniforms(
+    camera: Camera,
+    previous_camera: Camera | None = None,
+    frame_index: int = 0,
+    accumulation_weight: float = 0.9,
+    motion_accum_min_weight: float = 0.1,
+    motion_accum_low_px: float = 0.5,
+    motion_accum_high_px: float = 4.0,
+    motion_sampling_low_px: float = 1.0,
+    motion_sampling_high_px: float = 6.0,
+) -> FrameUniforms:
+    """Defaults from Renderer.swift:117-165."""
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    return FrameUniforms(
+        camera=camera,
+        previous_camera=camera if previous_camera is None else previous_camera,
+        frame_index=jnp.asarray(frame_index, jnp.int32),
+        accumulation_weight=f32(accumulation_weight),
+        motion_accum_min_weight=f32(motion_accum_min_weight),
+        motion_accum_low_px=f32(motion_accum_low_px),
+        motion_accum_high_px=f32(motion_accum_high_px),
+        motion_sampling_low_px=f32(motion_sampling_low_px),
+        motion_sampling_high_px=f32(motion_sampling_high_px),
+    )
+
+
+class Rays(NamedTuple):
+    """SoA ray batch — the wavefront replacement for the megakernel's
+    per-thread ray state (Raytracing.metal:283-310)."""
+
+    origin: jnp.ndarray  # (R,3) f32
+    direction: jnp.ndarray  # (R,3) f32
+    max_distance: jnp.ndarray  # (R,) f32
+
+
+class Hits(NamedTuple):
+    """SoA closest-hit results (the intersector result, Raytracing.metal:306)."""
+
+    t: jnp.ndarray  # (R,) f32; inf = miss
+    triangle: jnp.ndarray  # (R,) int32 global triangle id; -1 = miss
+    u: jnp.ndarray  # (R,) f32 barycentric for vertex 1
+    v: jnp.ndarray  # (R,) f32 barycentric for vertex 2
+
+    @property
+    def hit(self) -> jnp.ndarray:
+        return self.triangle >= 0
+
+
+def orbit_camera(
+    width: int,
+    height: int,
+    target,
+    azimuth: float,
+    elevation: float,
+    distance: float,
+    fov_degrees: float = 45.0,
+) -> Camera:
+    """Orbit camera parameterization — exact port of the *math* of
+    ``Scene.makeOrbitCamera`` (Scene.swift:126-159)."""
+    target = np.asarray(target, np.float32)
+    safe_distance = max(0.001, float(distance))
+    limit = np.pi / 2.0 - 0.001
+    el = float(np.clip(elevation, -limit, limit))
+    x = safe_distance * np.cos(el) * np.sin(azimuth)
+    y = safe_distance * np.sin(el)
+    z = safe_distance * np.cos(el) * np.cos(azimuth)
+    position = target + np.array([x, y, z], np.float32)
+
+    fwd = target - position
+    forward = fwd / np.linalg.norm(fwd)
+    world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(forward, world_up)
+    n = np.linalg.norm(right)
+    right = right / n if n >= 1e-4 else np.array([1.0, 0.0, 0.0], np.float32)
+    up = np.cross(right, forward)
+    up = up / np.linalg.norm(up)
+
+    fov = fov_degrees * np.pi / 180.0
+    image_plane_height = np.tan(fov / 2.0)
+    image_plane_width = (width / height) * image_plane_height
+
+    return Camera(
+        position=jnp.asarray(position, jnp.float32),
+        right=jnp.asarray(right * image_plane_width, jnp.float32),
+        up=jnp.asarray(up * image_plane_height, jnp.float32),
+        forward=jnp.asarray(forward, jnp.float32),
+    )

@@ -1,0 +1,14 @@
+"""Test harness configuration.
+
+Runs the whole suite on a virtual 8-device CPU mesh so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4's "distributed tests
+without a real cluster" analog). Must set flags before JAX initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,161 @@
+"""LBVH build/refit/traversal tests — the Morton/LBVH-invariant and
+Möller–Trumbore-vs-brute-force pyramid from SURVEY.md §4."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrt_tpu.bvh import intersect, lbvh, traverse
+from mrt_tpu.core.types import Rays
+
+
+def random_tris(n, rng, spread=4.0, size=0.4):
+    base = (rng.random((n, 3)) * 2 - 1) * spread
+    v0 = base + (rng.random((n, 3)) - 0.5) * size
+    v1 = base + (rng.random((n, 3)) - 0.5) * size
+    v2 = base + (rng.random((n, 3)) - 0.5) * size
+    return v0.astype(np.float32), v1.astype(np.float32), v2.astype(np.float32)
+
+
+def random_rays(n, rng, spread=6.0):
+    origin = ((rng.random((n, 3)) * 2 - 1) * spread).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Rays(
+        origin=jnp.asarray(origin),
+        direction=jnp.asarray(d),
+        max_distance=jnp.full((n,), np.inf, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("n_tris", [1, 2, 7, 64, 500])
+def test_bvh_invariants(n_tris):
+    rng = np.random.default_rng(n_tris)
+    v0, v1, v2 = random_tris(n_tris, rng)
+    bvh = lbvh.build(v0, v1, v2)
+
+    assert sorted(np.asarray(bvh.leaf_tri).tolist()) == list(range(n_tris))
+
+    bmin = np.asarray(bvh.bbox_min)
+    bmax = np.asarray(bvh.bbox_max)
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+
+    # Parent AABB must contain both children.
+    for i in range(bvh.n_internal):
+        for c in (left[i], right[i]):
+            assert (bmin[i] <= bmin[c] + 1e-6).all(), (i, c)
+            assert (bmax[i] >= bmax[c] - 1e-6).all(), (i, c)
+
+    # Every node except the root has exactly one parent.
+    parent = np.asarray(bvh.parent)
+    assert (parent[1:] >= 0).all() or n_tris == 1
+    assert parent[0] == -1 if n_tris > 1 else parent[0] == -1
+
+    # Leaf AABBs contain their triangles.
+    n_int = bvh.n_internal
+    for i in range(n_tris):
+        t = int(np.asarray(bvh.leaf_tri)[i])
+        tri = np.stack([v0[t], v1[t], v2[t]])
+        assert (bmin[n_int + i] <= tri.min(0) + 1e-5).all()
+        assert (bmax[n_int + i] >= tri.max(0) - 1e-5).all()
+
+
+@pytest.mark.parametrize("n_tris,n_rays", [(1, 64), (13, 128), (300, 256)])
+def test_closest_hit_matches_brute_force(n_tris, n_rays):
+    rng = np.random.default_rng(42 + n_tris)
+    v0, v1, v2 = random_tris(n_tris, rng)
+    bvh = lbvh.build(v0, v1, v2)
+    rays = random_rays(n_rays, rng)
+
+    jv0, jv1, jv2 = map(jnp.asarray, (v0, v1, v2))
+    got = jax.jit(traverse.closest_hit, static_argnums=())(bvh, jv0, jv1, jv2, rays)
+    want = intersect.brute_force_closest_hit(rays, jv0, jv1, jv2)
+
+    got_t = np.asarray(got.t)
+    want_t = np.asarray(want.t)
+    hit_agree = np.asarray(got.triangle >= 0) == np.asarray(want.triangle >= 0)
+    assert hit_agree.all()
+    m = np.asarray(want.triangle >= 0)
+    np.testing.assert_allclose(got_t[m], want_t[m], rtol=1e-4, atol=1e-5)
+    # Same triangle except exact t-ties.
+    tie = np.isclose(got_t, want_t, rtol=1e-4, atol=1e-5)
+    assert (np.asarray(got.triangle)[m] == np.asarray(want.triangle)[m])[tie[m]].all()
+    np.testing.assert_allclose(np.asarray(got.u)[m], np.asarray(want.u)[m], rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_tris,n_rays", [(13, 128), (300, 256)])
+def test_any_hit_matches_brute_force(n_tris, n_rays):
+    rng = np.random.default_rng(7 + n_tris)
+    v0, v1, v2 = random_tris(n_tris, rng)
+    bvh = lbvh.build(v0, v1, v2)
+    rays = random_rays(n_rays, rng)
+    # Finite max distance exercises the "don't overshoot the light" cap
+    # (Raytracing.metal:726).
+    rays = rays._replace(max_distance=jnp.full_like(rays.max_distance, 5.0))
+
+    jv0, jv1, jv2 = map(jnp.asarray, (v0, v1, v2))
+    got = np.asarray(traverse.any_hit(bvh, jv0, jv1, jv2, rays))
+    want = np.asarray(intersect.brute_force_any_hit(rays, jv0, jv1, jv2))
+    assert (got == want).all()
+
+
+def test_any_hit_mask_disables_lanes():
+    rng = np.random.default_rng(3)
+    v0, v1, v2 = random_tris(20, rng)
+    bvh = lbvh.build(v0, v1, v2)
+    rays = random_rays(64, rng)
+    jv0, jv1, jv2 = map(jnp.asarray, (v0, v1, v2))
+    mask = jnp.asarray(rng.random(64) > 0.5)
+    got = np.asarray(traverse.any_hit(bvh, jv0, jv1, jv2, rays, mask=mask))
+    assert (~got[~np.asarray(mask)]).all()
+
+
+def test_refit_tracks_moved_vertices():
+    rng = np.random.default_rng(11)
+    v0, v1, v2 = random_tris(100, rng)
+    bvh = lbvh.build(v0, v1, v2)
+
+    # Deform (the skinning analog) and refit with FIXED topology.
+    shift = rng.standard_normal((100, 3)).astype(np.float32) * 0.5
+    w0, w1, w2 = v0 + shift, v1 + shift, v2 + shift
+    refitted = jax.jit(lbvh.refit)(bvh, jnp.asarray(w0), jnp.asarray(w1), jnp.asarray(w2))
+
+    # Invariants hold post-refit.
+    bmin = np.asarray(refitted.bbox_min)
+    bmax = np.asarray(refitted.bbox_max)
+    left = np.asarray(refitted.left)
+    right = np.asarray(refitted.right)
+    for i in range(refitted.n_internal):
+        for c in (left[i], right[i]):
+            assert (bmin[i] <= bmin[c] + 1e-6).all()
+            assert (bmax[i] >= bmax[c] - 1e-6).all()
+
+    # Traversal over the refitted tree still matches brute force.
+    rays = random_rays(128, rng)
+    jw = list(map(jnp.asarray, (w0, w1, w2)))
+    got = traverse.closest_hit(refitted, *jw, rays)
+    want = intersect.brute_force_closest_hit(rays, *jw)
+    assert (np.asarray(got.triangle >= 0) == np.asarray(want.triangle >= 0)).all()
+    m = np.asarray(want.triangle >= 0)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-5)
+
+
+def test_moller_trumbore_known_triangle():
+    v0 = jnp.asarray([0.0, 0.0, 0.0])
+    v1 = jnp.asarray([1.0, 0.0, 0.0])
+    v2 = jnp.asarray([0.0, 1.0, 0.0])
+    o = jnp.asarray([0.25, 0.25, 1.0])
+    d = jnp.asarray([0.0, 0.0, -1.0])
+    hit, t, u, v = intersect.ray_triangle(o, d, v0, v1, v2)
+    assert bool(hit)
+    np.testing.assert_allclose(float(t), 1.0, atol=1e-6)
+    # (u, v) weight vertices 1 and 2 — Metal intersector convention.
+    np.testing.assert_allclose([float(u), float(v)], [0.25, 0.25], atol=1e-6)
+    # backface hit allowed (no culling): approach from -z
+    hit_b, t_b, _, _ = intersect.ray_triangle(
+        jnp.asarray([0.25, 0.25, -1.0]), jnp.asarray([0.0, 0.0, 1.0]), v0, v1, v2
+    )
+    assert bool(hit_b)
+    np.testing.assert_allclose(float(t_b), 1.0, atol=1e-6)

@@ -1,0 +1,53 @@
+"""Halton sampler parity tests (Raytracing.metal:28-57 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrt_tpu.core import halton as H
+
+
+def test_halton_matches_scalar_oracle():
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, 1 << 20, size=256).astype(np.int32)
+    d = rng.integers(0, 100, size=256).astype(np.int32)
+    got = np.asarray(H.halton(jnp.asarray(i), jnp.asarray(d)))
+    want = np.array([H.halton_np(int(a), int(b)) for a, b in zip(i, d)], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_halton_base2_known_values():
+    # radical inverse base 2: 1 -> 0.5, 2 -> 0.25, 3 -> 0.75, 4 -> 0.125
+    i = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    got = np.asarray(H.halton(i, jnp.zeros(4, jnp.int32)))
+    np.testing.assert_allclose(got, [0.5, 0.25, 0.75, 0.125], atol=1e-7)
+
+
+def test_halton_zero_index_is_zero():
+    assert float(H.halton(jnp.asarray(0), jnp.asarray(5))) == 0.0
+
+
+def test_halton_range():
+    i = jnp.arange(1, 2000, dtype=jnp.int32)
+    for d in (0, 1, 7, 99):
+        vals = np.asarray(H.halton(i, jnp.full_like(i, d)))
+        assert (vals > 0).all() and (vals < 1).all()
+
+
+def test_dimension_schedule_quirk():
+    # The 6-stride for light/transparency dims vs 5-stride for bounce dims
+    # (Raytracing.metal:545,588,763) must be preserved verbatim.
+    step = jnp.asarray(3)
+    assert int(H.dim_light_pick(step)) == 2 + 3 * 6
+    a, b = H.dim_area_sample(step)
+    assert (int(a), int(b)) == (2 + 3 * 6 + 1, 2 + 3 * 6 + 2)
+    assert int(H.dim_transparency(step)) == 2 + 3 * 6 + 5
+    x, y = H.dim_bounce(step)
+    assert (int(x), int(y)) == (2 + 3 * 5 + 3, 2 + 3 * 5 + 4)
+
+
+def test_pixel_offsets_range():
+    import jax
+
+    offs = np.asarray(H.make_pixel_offsets(jax.random.PRNGKey(1), 16, 32))
+    assert offs.shape == (16, 32)
+    assert offs.min() >= 0 and offs.max() < H.RANDOM_OFFSET_MOD
