@@ -37,9 +37,11 @@ def closest_hit(
     tri_v2: jnp.ndarray,
     rays: Rays,
     t_min: float = 0.0,
+    mask: jnp.ndarray | None = None,
 ) -> Hits:
     """Closest-hit traversal for a batch of rays. Returns original-order
-    triangle ids (instance decode happens in the shade stage)."""
+    triangle ids (instance decode happens in the shade stage). ``mask``
+    pre-disables lanes (retired wavefront rays report a miss)."""
     n_rays = rays.origin.shape[0]
     n_internal = bvh.n_internal
     inv_dir = safe_inv_dir(rays.direction)
@@ -51,6 +53,8 @@ def closest_hit(
             rays.origin, rays.direction, tri_v0[tid], tri_v1[tid], tri_v2[tid],
             t_min=t_min, t_max=rays.max_distance,
         )
+        if mask is not None:
+            hit = hit & mask
         return Hits(
             t=jnp.where(hit, t, jnp.inf),
             triangle=jnp.where(hit, tid.astype(jnp.int32), -1),
@@ -118,6 +122,8 @@ def closest_hit(
 
     stack0 = jnp.zeros((n_rays, STACK_DEPTH), jnp.int32)  # root = node 0 pre-pushed
     sp0 = jnp.ones((n_rays,), jnp.int32)
+    if mask is not None:
+        sp0 = jnp.where(mask, sp0, 0)
     state = (
         stack0,
         sp0,

@@ -1,0 +1,351 @@
+"""Renderer — the frame-loop orchestrator, TPU analog of ``Renderer.swift``.
+
+Owns the compiled scene, the BVH, the accumulation state, and ~25 tunable
+properties mirroring Renderer.swift:52-197. Every quality-affecting property
+assignment restarts temporal accumulation (``frame_index = 0``) — the
+reference's universal cache-invalidation idiom (``didSet { frameIndex = 0 }``,
+SURVEY.md §3.5).
+
+The per-frame hot path is ONE jitted function (``_render_frame``): instance
+transform application (batched matmul) -> BVH refit -> wavefront trace over
+pixel tiles -> temporal accumulation. The reference's 3-frames-in-flight
+pipelining (Renderer.swift:207,1406-1409) maps to JAX async dispatch: draw()
+returns device arrays without blocking; only image readback syncs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh import lbvh
+from ..core import halton as H
+from ..core import types as T
+from ..render import accumulate as acc
+from ..render import shade as S
+from ..render import wavefront as wf
+from . import scene as scene_mod
+
+# Properties whose change invalidates accumulated history
+# (Renderer.swift:52-197 didSet { frameIndex = 0 }).
+_RESET_PROPS = {
+    "samples_per_pixel",
+    "max_bounces",
+    "accumulation_weight",
+    "use_motion_adaptive_accumulation",
+    "motion_accumulation_min_weight",
+    "motion_accumulation_low_threshold_pixels",
+    "motion_accumulation_high_threshold_pixels",
+    "use_motion_adaptive_sampling",
+    "motion_sampling_max_extra_samples",
+    "motion_sampling_low_threshold_pixels",
+    "motion_sampling_high_threshold_pixels",
+    "shading_mode",
+    "debug_texture_mode",
+    "render_scale",
+    "upscaler_mode",
+    "camera_fov_degrees",
+}
+
+UPSCALER_OFF = "off"
+UPSCALER_SPATIAL = "spatial"  # default on (Renderer.swift:52-60 + SURVEY §5.6)
+UPSCALER_TEMPORAL = "temporal"
+UPSCALER_DENOISED = "denoised"
+
+VIEW_MODE_WORLD = "world"
+VIEW_MODE_TPS = "tps"
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion):
+    """One frame: transforms -> refit -> trace tiles -> accumulate.
+
+    offsets: (H,W) int32; prev_accum: (H,W,3); prev_motion: (H,W,2).
+    Returns (accum, depth, motion, gbuffer dict).
+    """
+    pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
+    geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
+    bvh = lbvh.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+
+    h, w = settings.height, settings.width
+    n_pix = h * w
+    tile = min(settings.tile_pixels, n_pix)
+    n_tiles = -(-n_pix // tile)
+    padded = n_tiles * tile
+
+    flat_idx = jnp.arange(padded, dtype=jnp.int32)
+    px = (flat_idx % w).reshape(n_tiles, tile)
+    py = jnp.minimum(flat_idx // w, h - 1).reshape(n_tiles, tile)
+    offs = jnp.pad(offsets.reshape(-1), (0, padded - n_pix)).reshape(n_tiles, tile)
+    pmot = jnp.pad(prev_motion.reshape(-1, 2), ((0, padded - n_pix), (0, 0))).reshape(
+        n_tiles, tile, 2
+    )
+
+    def do_tile(args):
+        tpx, tpy, toffs, tpmot = args
+        return wf.trace_tile(
+            settings, statics, scene, bvh, geom, uniforms, tpx, tpy, toffs, tpmot
+        )
+
+    out = jax.lax.map(do_tile, (px, py, offs, pmot))
+
+    def unpad(a, ch=None):
+        a = a.reshape((padded,) + a.shape[2:])[:n_pix]
+        return a.reshape((h, w) + a.shape[1:])
+
+    color = unpad(out.color)
+    depth = unpad(out.depth)
+    motion = unpad(out.motion)
+
+    accum = acc.accumulate(settings, uniforms, color, motion, prev_motion, prev_accum)
+
+    gbuffer = None
+    if settings.enable_gbuffer:
+        gbuffer = dict(
+            diffuse_albedo=unpad(out.diffuse_albedo),
+            specular_albedo=unpad(out.specular_albedo),
+            normal=unpad(out.normal),
+            roughness=unpad(out.roughness),
+        )
+    return accum, depth, motion, gbuffer
+
+
+class Renderer:
+    """Interactive progressive renderer over a compiled scene."""
+
+    def __init__(
+        self,
+        scene: scene_mod.Scene,
+        output_width: int = 512,
+        output_height: int = 512,
+        seed: int = 0,
+    ):
+        object.__setattr__(self, "_initialized", False)
+        self.scene = scene
+        self.output_width = output_width
+        self.output_height = output_height
+
+        # --- tunables (defaults from Renderer.swift:52-197) -------------------
+        self.render_scale = 0.67
+        self.upscaler_mode = UPSCALER_SPATIAL
+        self.samples_per_pixel = 2
+        self.max_bounces = 2
+        self.accumulation_weight = 0.9
+        self.use_motion_adaptive_accumulation = True
+        self.motion_accumulation_min_weight = 0.1
+        self.motion_accumulation_low_threshold_pixels = 0.5
+        self.motion_accumulation_high_threshold_pixels = 4.0
+        self.use_motion_adaptive_sampling = True
+        self.motion_sampling_max_extra_samples = 2
+        self.motion_sampling_low_threshold_pixels = 1.0
+        self.motion_sampling_high_threshold_pixels = 6.0
+        self.shading_mode = T.SHADING_MODE_PBR
+        self.debug_texture_mode = T.DEBUG_MODE_NONE
+
+        # camera state (Renderer.swift orbit params; seeded from the scene)
+        self.view_mode = VIEW_MODE_WORLD
+        self.player_model_index = 0
+        self.camera_target = np.asarray(scene.camera_target, np.float32)
+        self.camera_azimuth = scene.camera_azimuth
+        self.camera_elevation = scene.camera_elevation
+        self.camera_distance = scene.camera_distance
+        self.camera_fov_degrees = scene.camera_fov_degrees
+        self.min_camera_distance = 0.5
+        self.max_camera_distance = 50.0
+        self.camera_elevation_limit = np.pi / 2 - 0.001
+
+        self.frame_index = 0
+        self._previous_camera: T.Camera | None = None
+        self._key = jax.random.PRNGKey(seed)
+
+        # --- compile scene -----------------------------------------------------
+        self.scene_data, self.statics = scene.compile()
+        self._build_bvh()
+        self._allocate_state()
+        object.__setattr__(self, "_initialized", True)
+
+    # -- accumulation-reset idiom ----------------------------------------------
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        if getattr(self, "_initialized", False) and name in _RESET_PROPS:
+            object.__setattr__(self, "frame_index", 0)
+
+    # -- sizes -------------------------------------------------------------------
+    @property
+    def render_width(self) -> int:
+        scale = self.render_scale if self.upscaler_mode != UPSCALER_OFF else 1.0
+        return max(1, int(round(self.output_width * scale)))
+
+    @property
+    def render_height(self) -> int:
+        scale = self.render_scale if self.upscaler_mode != UPSCALER_OFF else 1.0
+        return max(1, int(round(self.output_height * scale)))
+
+    def settings(self) -> T.RenderSettings:
+        return T.RenderSettings(
+            width=self.render_width,
+            height=self.render_height,
+            samples_per_pixel=self.samples_per_pixel,
+            max_bounces=self.max_bounces,
+            shading_mode=self.shading_mode,
+            debug_mode=self.debug_texture_mode,
+            enable_gbuffer=self.upscaler_mode == UPSCALER_DENOISED,
+            enable_motion_adaptive_sampling=self.use_motion_adaptive_sampling,
+            motion_sampling_max_extra_samples=self.motion_sampling_max_extra_samples,
+            enable_motion_adaptive_accumulation=self.use_motion_adaptive_accumulation,
+        )
+
+    # -- state -------------------------------------------------------------------
+    def _allocate_state(self):
+        """createTextures analog (Renderer.swift:676-804): accumulation pair,
+        random offsets, depth/motion at render scale."""
+        h, w = self.render_height, self.render_width
+        self._key, sub = jax.random.split(self._key)
+        self.offsets = H.make_pixel_offsets(sub, h, w)
+        self.accum = jnp.zeros((h, w, 3), jnp.float32)
+        self.motion = jnp.zeros((h, w, 2), jnp.float32)
+        self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
+        self.gbuffer = None
+        self._state_size = (h, w)
+        self.frame_index = 0
+
+    def _build_bvh(self):
+        """Initial world-space BVH topology (host Karras build). Refit runs in
+        the jitted step every frame; call this again after large moves
+        (rebuild fallback, Renderer.swift:1141-1167)."""
+        scene = self.scene_data
+        transforms = np.asarray(scene.instance_transform)
+        pos = np.asarray(scene.positions_obj)
+        vinst = np.asarray(scene.vertex_instance)
+        M = transforms[vinst]
+        pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
+        idx = np.asarray(scene.indices)
+        self.bvh = lbvh.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
+
+    def rebuild_bvh(self):
+        self._build_bvh()
+
+    # -- camera controls (Renderer.swift:1327-1371) -------------------------------
+    def orbit(self, delta_x: float, delta_y: float):
+        if self.view_mode == VIEW_MODE_TPS:
+            return
+        sensitivity = 0.005
+        self.camera_azimuth += delta_x * sensitivity
+        self.camera_elevation = self._clamp_elevation(self.camera_elevation + delta_y * sensitivity)
+        self.frame_index = 0
+
+    def zoom(self, delta: float):
+        scale = max(0.1, 1.0 - delta)
+        self.camera_distance = float(
+            np.clip(self.camera_distance * scale, self.min_camera_distance, self.max_camera_distance)
+        )
+        self.frame_index = 0
+
+    def apply_view_preset(self, preset: str):
+        iso_elevation = float(np.arcsin(1.0 / np.sqrt(3.0)))
+        if preset == "free":
+            return
+        elif preset == "front":
+            self.camera_azimuth = 0.0
+        elif preset == "back":
+            self.camera_azimuth = np.pi
+        elif preset == "left":
+            self.camera_azimuth = -np.pi / 2
+        elif preset == "right":
+            self.camera_azimuth = np.pi / 2
+        elif preset == "top":
+            self.camera_elevation = self.camera_elevation_limit
+        elif preset == "bottom":
+            self.camera_elevation = -self.camera_elevation_limit
+        elif preset == "isometric":
+            self.camera_azimuth = np.pi / 4
+            self.camera_elevation = iso_elevation
+        self.camera_elevation = self._clamp_elevation(self.camera_elevation)
+        self.frame_index = 0
+
+    def _clamp_elevation(self, v: float) -> float:
+        return float(np.clip(v, -self.camera_elevation_limit, self.camera_elevation_limit))
+
+    def current_camera(self) -> T.Camera:
+        if self.view_mode == VIEW_MODE_TPS and self.player_model_index < len(self.scene.models):
+            player = self.scene.models[self.player_model_index]
+            target = player.position + np.array([0, 1.0, 0], np.float32)
+        else:
+            target = np.zeros(3, np.float32)
+        self.camera_target = target
+        return T.orbit_camera(
+            self.render_width,
+            self.render_height,
+            target,
+            self.camera_azimuth,
+            self.camera_elevation,
+            self.camera_distance,
+            self.camera_fov_degrees,
+        )
+
+    # -- scene sync ----------------------------------------------------------------
+    def _sync_scene(self):
+        """Propagate host-side scene changes (moveModel etc.) into device
+        transforms, keeping the previous frame's for motion vectors
+        (updateInstanceDescriptors, Renderer.swift:937-973)."""
+        prev = self.scene_data.instance_transform
+        if self.scene.is_dirty:
+            new = jnp.asarray(self.scene.instance_transforms())
+            self.scene_data = self.scene_data._replace(
+                instance_transform=new,
+                prev_instance_transform=prev,
+                lights=self.scene.lights,
+            )
+            self.scene.is_dirty = False
+        else:
+            self.scene_data = self.scene_data._replace(prev_instance_transform=prev)
+
+    # -- frame loop ------------------------------------------------------------------
+    def draw(self):
+        """Render one frame (draw(in:) analog, Renderer.swift:1405-1503).
+        Returns the accumulation buffer (pre-tonemap, render scale)."""
+        if self._state_size != (self.render_height, self.render_width):
+            self._allocate_state()
+
+        self._sync_scene()
+
+        camera = self.current_camera()
+        previous_camera = self._previous_camera or camera
+        uniforms = T.make_frame_uniforms(
+            camera=camera,
+            previous_camera=previous_camera,
+            frame_index=self.frame_index,
+            accumulation_weight=self.accumulation_weight,
+            motion_accum_min_weight=self.motion_accumulation_min_weight,
+            motion_accum_low_px=self.motion_accumulation_low_threshold_pixels,
+            motion_accum_high_px=self.motion_accumulation_high_threshold_pixels,
+            motion_sampling_low_px=self.motion_sampling_low_threshold_pixels,
+            motion_sampling_high_px=self.motion_sampling_high_threshold_pixels,
+        )
+
+        accum, depth, motion, gbuffer = _render_frame(
+            self.settings(),
+            self.statics,
+            self.scene_data,
+            self.bvh,
+            uniforms,
+            self.offsets,
+            self.accum,
+            self.motion,
+        )
+        self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
+        object.__setattr__(self, "frame_index", self.frame_index + 1)
+        self._previous_camera = camera
+        return accum
+
+    # -- present ------------------------------------------------------------------
+    def output_image(self) -> np.ndarray:
+        """Tonemapped uint8 image at OUTPUT resolution (upscaled when enabled) —
+        the FramePresenter + blit analog."""
+        from ..upscale import presenter
+
+        return presenter.present(self)

@@ -1,0 +1,519 @@
+"""Wavefront path tracer — the TPU-native decomposition of the reference
+megakernel ``raytracingKernel`` (Raytracing.metal:221-831).
+
+The megakernel's per-thread control flow (spp loop -> bounce loop with
+miss / debug / glass / legacy / early-exit branches) becomes a vectorized
+pipeline over an SoA pixel batch: a ``fori_loop`` over samples, and inside it
+a ``while_loop`` over bounces where every divergent branch is a lane mask.
+Per iteration the whole batch does one closest-hit traversal and one any-hit
+shadow traversal — wide, regular VPU work instead of divergent threads.
+
+Faithfully ported semantics (each cited):
+* camera ray gen + Halton AA jitter            Raytracing.metal:269-291
+* primary depth / motion vectors               Raytracing.metal:342-389
+* degenerate-normal fallback                   Raytracing.metal:394-397
+* texture set + UV y-flip                      Raytracing.metal:399-456
+* debug visualization modes                    Raytracing.metal:459-490
+* tangent-basis normal mapping                 Raytracing.metal:492-504
+* G-buffer outputs                             Raytracing.metal:506-515
+* glass/transparency stochastic branch
+  (refraction does NOT consume a bounce;
+  transparencyPasses caps at maxBounces)       Raytracing.metal:517-576
+* emission, 1-of-N light sampling x lightCount Raytracing.metal:584-647
+* legacy shading mode                          Raytracing.metal:649-690
+* GGX+Lambert direct + any-hit shadow ray      Raytracing.metal:692-744
+* diffuse-only throughput, ||color||<1e-3 exit Raytracing.metal:746-753
+* cosine-hemisphere bounce                     Raytracing.metal:755-774
+* motion-adaptive extra samples                Raytracing.metal:779-789
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..assets import texture as tex
+from ..bvh import traverse
+from ..bvh.lbvh import BVH
+from ..core import halton as H
+from ..core import types as T
+from ..engine.scene import SceneData, SceneStatics
+from . import shade as S
+
+
+class Geometry(NamedTuple):
+    """Per-frame world-space geometry (output of the transform/skin/refit
+    stage), consumed by trace."""
+
+    positions_w: jnp.ndarray  # (V,3)
+    prev_positions_w: jnp.ndarray  # (V,3)
+    normals_w: jnp.ndarray  # (V,3)
+    tri_v0: jnp.ndarray  # (T,3) world-space triangle verts (original order)
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+
+
+def build_geometry(scene: SceneData, positions_w, prev_positions_w, normals_w) -> Geometry:
+    v0 = jnp.take(positions_w, scene.indices[:, 0], axis=0)
+    v1 = jnp.take(positions_w, scene.indices[:, 1], axis=0)
+    v2 = jnp.take(positions_w, scene.indices[:, 2], axis=0)
+    return Geometry(positions_w, prev_positions_w, normals_w, v0, v1, v2)
+
+
+class TileOutputs(NamedTuple):
+    """Per-pixel outputs of one traced tile (pre-accumulation)."""
+
+    color: jnp.ndarray  # (P,3) averaged over samples
+    depth: jnp.ndarray  # (P,)
+    motion: jnp.ndarray  # (P,2) pixel units, +Y down
+    diffuse_albedo: jnp.ndarray  # (P,3)
+    specular_albedo: jnp.ndarray  # (P,3)
+    normal: jnp.ndarray  # (P,3) encoded *0.5+0.5
+    roughness: jnp.ndarray  # (P,)
+
+
+def _project(camera: T.Camera, world_pos: jnp.ndarray):
+    """Screen projection used for motion vectors (Raytracing.metal:360-376)."""
+    view = world_pos - camera.position
+    sx = S.dot3(view, camera.right)
+    sy = S.dot3(view, camera.up)
+    depth = S.dot3(view, camera.forward)
+    denom = jnp.maximum(depth, 0.001)
+    return sx / denom, sy / denom, depth
+
+
+def trace_tile(
+    settings: T.RenderSettings,
+    statics: SceneStatics,
+    scene: SceneData,
+    bvh: BVH,
+    geom: Geometry,
+    uniforms: T.FrameUniforms,
+    pixel_x: jnp.ndarray,  # (P,) int32
+    pixel_y: jnp.ndarray,  # (P,) int32
+    offsets: jnp.ndarray,  # (P,) int32 halton decorrelation offsets
+    prev_motion: jnp.ndarray,  # (P,2) previous-frame motion at these pixels
+) -> TileOutputs:
+    P = pixel_x.shape[0]
+    f32 = jnp.float32
+    zero3 = jnp.zeros((P, 3), f32)
+
+    base_samples = settings.base_samples
+    max_extra = settings.max_extra_samples
+    sample_stride = settings.sample_stride
+
+    width_f = f32(settings.width)
+    height_f = f32(settings.height)
+
+    def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0):
+        """Body of the spp loop (Raytracing.metal:269-790). Returns the
+        sample radiance and (on sample 0) primary depth/motion/G-buffer."""
+        frame_offset = uniforms.frame_index * sample_stride + sample_index
+        hidx = offsets + frame_offset
+
+        # --- camera ray (Raytracing.metal:272-291) --------------------------
+        rx = H.halton(hidx, jnp.zeros((), jnp.int32))
+        ry = H.halton(hidx, jnp.ones((), jnp.int32))
+        sample_pix_x = pixel_x.astype(f32) + rx
+        sample_pix_y = pixel_y.astype(f32) + ry
+        u = sample_pix_x / width_f * 2.0 - 1.0
+        v = sample_pix_y / height_f * 2.0 - 1.0
+        cam = uniforms.camera
+        ray_d = S.normalize(u[:, None] * cam.right + v[:, None] * cam.up + cam.forward)
+        ray_o = jnp.broadcast_to(cam.position, (P, 3))
+
+        is_sample0 = sample_index == 0
+
+        # --- bounce loop state ----------------------------------------------
+        state = dict(
+            ray_o=ray_o,
+            ray_d=ray_d,
+            color=jnp.ones((P, 3), f32),
+            accumulated=zero3,
+            bounce=jnp.zeros((P,), jnp.int32),
+            step=jnp.zeros((P,), jnp.int32),
+            tpasses=jnp.zeros((P,), jnp.int32),
+            active=jnp.ones((P,), bool),
+            had_primary=jnp.zeros((P,), bool),
+            depth=jnp.full((P,), 1.0e8, f32),  # "far" init, Raytracing.metal:252
+            motion=jnp.zeros((P, 2), f32),
+            gb_diff=zero3,
+            gb_spec=zero3,
+            gb_norm=zero3,
+            gb_rough=jnp.zeros((P,), f32),
+            wrote_gb=jnp.zeros((P,), bool),
+            iter=jnp.zeros((), jnp.int32),
+        )
+
+        # Upper bound on loop trips: each iteration either consumes a bounce or
+        # a transparencyPass, and passes cap at maxBounces (Raytracing.metal:570).
+        max_iters = settings.max_bounces * (settings.max_bounces + 2) + 2
+
+        def cond(st):
+            return jnp.any(st["active"]) & (st["iter"] < max_iters)
+
+        def body(st):
+            active = st["active"]
+            rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
+            hits = traverse.closest_hit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, rays, mask=active)
+            hit = hits.hit & active
+            # miss -> bounced out of the scene (Raytracing.metal:320-322)
+            st["active"] = active & hit
+
+            tri = jnp.maximum(hits.triangle, 0)
+            res = jnp.take(scene.tri_resource, tri)
+            world_point = st["ray_o"] + st["ray_d"] * hits.t[:, None]
+
+            # --- primary depth + motion (bounce 0, sample 0) -----------------
+            # (Raytracing.metal:342-389)
+            primary = hit & (st["bounce"] == 0) & is_sample0
+            obj_pos_w = S.interpolate_attribute(geom.positions_w, scene.indices, tri, hits.u, hits.v)
+            prev_pos_w = S.interpolate_attribute(geom.prev_positions_w, scene.indices, tri, hits.u, hits.v)
+            sx, sy, pdepth = _project(uniforms.camera, obj_pos_w)
+            psx, psy, _ = _project(uniforms.previous_camera, prev_pos_w)
+            right_scale = jnp.maximum(S.length(uniforms.camera.right), 1e-5)
+            up_scale = jnp.maximum(S.length(uniforms.camera.up), 1e-5)
+            motion_px_x = (sx - psx) * (width_f / (2.0 * right_scale))
+            motion_px_y = -((sy - psy) * (height_f / (2.0 * up_scale)))  # +Y down
+            st["depth"] = jnp.where(primary, jnp.maximum(pdepth, 1.0e-3), st["depth"])
+            st["motion"] = jnp.where(
+                primary[:, None], jnp.stack([motion_px_x, motion_px_y], -1), st["motion"]
+            )
+            st["had_primary"] = st["had_primary"] | primary
+
+            # --- surface normal (Raytracing.metal:391-397) -------------------
+            nrm_raw = S.interpolate_attribute(geom.normals_w, scene.indices, tri, hits.u, hits.v)
+            degenerate = S.length(nrm_raw) < 1e-10
+            nrm = jnp.where(degenerate[:, None], -st["ray_d"], S.normalize(nrm_raw))
+
+            # --- material + textures (Raytracing.metal:399-456) --------------
+            mat = scene.materials
+            albedo = jnp.take(mat.base_color, res, axis=0)
+            flags = jnp.take(mat.texture_flags, res)
+            tex_coord = S.interpolate_attribute(scene.uvs, scene.indices, tri, hits.u, hits.v)
+            tex_coord = tex_coord.at[:, 1].set(1.0 - tex_coord[:, 1])  # UV y-flip, :417
+
+            def has(bit):
+                return (flags & jnp.uint32(bit)) != 0
+
+            base_sample = jnp.ones((P, 3), f32)
+            if statics.any_map[tex.MAP_BASECOLOR]:
+                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_BASECOLOR, tex_coord)
+                m = has(T.MATERIAL_TEXTURE_BASECOLOR)[:, None]
+                base_sample = jnp.where(m, s, base_sample)
+                albedo = jnp.where(m, albedo * s, albedo)
+
+            roughness = jnp.ones((P,), f32)
+            if statics.any_map[tex.MAP_ROUGHNESS]:
+                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_ROUGHNESS, tex_coord)[:, 0]
+                roughness = jnp.where(has(T.MATERIAL_TEXTURE_ROUGHNESS), s, roughness)
+
+            metallic = jnp.zeros((P,), f32)
+            if statics.any_map[tex.MAP_METALLIC]:
+                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_METALLIC, tex_coord)[:, 0]
+                metallic = jnp.where(has(T.MATERIAL_TEXTURE_METALLIC), s, metallic)
+
+            ao = jnp.ones((P,), f32)
+            if T.ENABLE_AO and statics.any_map[tex.MAP_AO]:
+                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_AO, tex_coord)[:, 0]
+                ao = jnp.where(has(T.MATERIAL_TEXTURE_AO), s, ao)
+
+            opacity = jnp.clip(jnp.take(mat.opacity, res), 0.0, 1.0)
+            if statics.any_map[tex.MAP_OPACITY]:
+                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_OPACITY, tex_coord)[:, 0]
+                opacity = jnp.where(has(T.MATERIAL_TEXTURE_OPACITY), opacity * s, opacity)
+
+            emission = jnp.take(mat.emission, res, axis=0)
+            if statics.any_map[tex.MAP_EMISSION]:
+                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_EMISSION, tex_coord)
+                emission = jnp.where(has(T.MATERIAL_TEXTURE_EMISSION)[:, None], s, emission)
+
+            # --- debug visualization (Raytracing.metal:459-490) --------------
+            if settings.debug_mode != T.DEBUG_MODE_NONE:
+                dm = settings.debug_mode
+                magenta = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 1.0], f32), (P, 3))
+                if dm == T.DEBUG_MODE_BASECOLOR:
+                    debug = jnp.where(has(T.MATERIAL_TEXTURE_BASECOLOR)[:, None], base_sample, magenta)
+                elif dm == T.DEBUG_MODE_NORMAL:
+                    if statics.any_map[tex.MAP_NORMAL]:
+                        nmap = tex.sample_bilinear(scene.atlas, res, tex.MAP_NORMAL, tex_coord)
+                        debug = jnp.where(has(T.MATERIAL_TEXTURE_NORMAL)[:, None], nmap, nrm * 0.5 + 0.5)
+                    else:
+                        debug = nrm * 0.5 + 0.5
+                elif dm == T.DEBUG_MODE_ROUGHNESS:
+                    debug = jnp.repeat(roughness[:, None], 3, axis=1)
+                elif dm == T.DEBUG_MODE_METALLIC:
+                    debug = jnp.repeat(metallic[:, None], 3, axis=1)
+                elif dm == T.DEBUG_MODE_AO:
+                    debug = jnp.repeat(ao[:, None], 3, axis=1) if T.ENABLE_AO else magenta
+                elif dm == T.DEBUG_MODE_EMISSION:
+                    debug = emission
+                else:  # DEBUG_MODE_MOTION (Raytracing.metal:482-487)
+                    # hadPrimaryHit/motionVector are written only at sample 0
+                    # (Raytracing.metal:342); later samples reuse sample 0's.
+                    eff_had = jnp.where(is_sample0, st["had_primary"], had0)
+                    eff_motion = jnp.where(is_sample0, st["motion"], motion0)
+                    mp = jnp.where(eff_had[:, None], eff_motion, prev_motion)
+                    scaled = jnp.clip(mp * 0.05, -1.0, 1.0)
+                    mag = jnp.clip(S.length(mp) * 0.1, 0.0, 1.0)
+                    debug = jnp.stack([scaled[:, 0] * 0.5 + 0.5, scaled[:, 1] * 0.5 + 0.5, mag], -1)
+                st["accumulated"] = jnp.where(hit[:, None], debug, st["accumulated"])
+                st["active"] = jnp.zeros((P,), bool)
+                st["iter"] = st["iter"] + 1
+                return st
+
+            # --- normal mapping (Raytracing.metal:492-504) -------------------
+            shading_nrm = nrm
+            if statics.any_map[tex.MAP_NORMAL]:
+                valid_tb, tangent, bitangent = S.compute_tangent_basis(
+                    geom.positions_w, scene.uvs, scene.indices, tri
+                )
+                world_t = S.normalize(tangent - nrm * S.dot3(tangent, nrm)[:, None])
+                world_b = S.normalize(jnp.cross(nrm, world_t))
+                nmap = tex.sample_bilinear(scene.atlas, res, tex.MAP_NORMAL, tex_coord) * 2.0 - 1.0
+                mapped = S.normalize(
+                    nmap[:, 0:1] * world_t + nmap[:, 1:2] * world_b + nmap[:, 2:3] * nrm
+                )
+                use = (has(T.MATERIAL_TEXTURE_NORMAL) & valid_tb)[:, None]
+                shading_nrm = jnp.where(use, mapped, nrm)
+
+            # --- G-buffer (Raytracing.metal:506-515) -------------------------
+            if settings.enable_gbuffer:
+                write_gb = hit & ~st["wrote_gb"] & is_sample0
+                r_out = jnp.clip(roughness, 0.0, 1.0)
+                diff_alb = albedo * (1.0 - metallic)[:, None]
+                spec_alb = 0.04 + (albedo - 0.04) * metallic[:, None]
+                st["gb_diff"] = jnp.where(write_gb[:, None], diff_alb, st["gb_diff"])
+                st["gb_spec"] = jnp.where(write_gb[:, None], spec_alb, st["gb_spec"])
+                st["gb_norm"] = jnp.where(write_gb[:, None], shading_nrm * 0.5 + 0.5, st["gb_norm"])
+                st["gb_rough"] = jnp.where(write_gb, r_out, st["gb_rough"])
+                st["wrote_gb"] = st["wrote_gb"] | write_gb
+
+            # --- glass / transparency branch (Raytracing.metal:517-576) ------
+            skip_lighting = jnp.zeros((P,), bool)
+            consume_bounce = jnp.ones((P,), bool)
+            if statics.has_refraction:
+                ior = jnp.maximum(jnp.take(mat.refraction_index, res), 1.0)
+                clamped_op = jnp.clip(opacity, 0.0, 1.0)
+                glass = hit & ((clamped_op < 0.999) | (ior > 1.01))
+
+                N = shading_nrm
+                I = st["ray_d"]
+                cosi = jnp.clip(S.dot3(-I, N), -1.0, 1.0)
+                inside = cosi < 0.0
+                cosi = jnp.abs(cosi)
+                N = jnp.where(inside[:, None], -N, N)
+                eta_i = jnp.where(inside, ior, 1.0)
+                eta_t = jnp.where(inside, 1.0, ior)
+                eta = eta_i / eta_t
+                k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+                f0 = ((eta_t - eta_i) / (eta_t + eta_i)) ** 2
+                F = f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - cosi, 0.0, 1.0), 5.0)
+                transmission = 1.0 - clamped_op
+                reflect_w = F
+                refract_w = (1.0 - F) * transmission
+                total_w = jnp.maximum(reflect_w + refract_w, 1e-4)
+                reflect_prob = reflect_w / total_w
+
+                choice = H.halton(hidx, H.dim_transparency(st["step"]))
+                do_reflect = (k < 0.0) | (choice < reflect_prob)
+
+                reflect_dir = S.normalize(I - 2.0 * S.dot3(I, N)[:, None] * N)
+                cos_t = jnp.sqrt(jnp.maximum(k, 0.0))
+                refract_dir = S.normalize(eta[:, None] * I + (eta * cosi - cos_t)[:, None] * N)
+
+                new_dir = jnp.where(do_reflect[:, None], reflect_dir, refract_dir)
+                new_origin = world_point + new_dir * 1e-3
+                new_color = jnp.where(
+                    do_reflect[:, None],
+                    st["color"] * total_w[:, None],
+                    st["color"] * total_w[:, None] * albedo,
+                )
+                st["ray_d"] = jnp.where(glass[:, None], new_dir, st["ray_d"])
+                st["ray_o"] = jnp.where(glass[:, None], new_origin, st["ray_o"])
+                st["color"] = jnp.where(glass[:, None], new_color, st["color"])
+                consume_bounce = jnp.where(glass & ~do_reflect, False, consume_bounce)
+                skip_lighting = glass
+
+                # bookkeeping for skip-lighting lanes (Raytracing.metal:563-576)
+                g_step = st["step"] + 1
+                g_bounce = jnp.where(consume_bounce, st["bounce"] + 1, st["bounce"])
+                g_tp = jnp.where(consume_bounce, 0, st["tpasses"] + 1)
+                overflow = ~consume_bounce & (g_tp > settings.max_bounces)
+                g_bounce = jnp.where(overflow, g_bounce + 1, g_bounce)
+                g_tp = jnp.where(overflow, 0, g_tp)
+                st["step"] = jnp.where(glass, g_step, st["step"])
+                st["bounce"] = jnp.where(glass, g_bounce, st["bounce"])
+                st["tpasses"] = jnp.where(glass, g_tp, st["tpasses"])
+
+            lit = st["active"] & ~skip_lighting
+
+            # --- emission (Raytracing.metal:584-585) -------------------------
+            st["accumulated"] = st["accumulated"] + jnp.where(
+                lit[:, None], st["color"] * emission, 0.0
+            )
+
+            # --- pick 1 of N lights (Raytracing.metal:587-647) ---------------
+            n_lights = statics.n_lights
+            light_sample = H.halton(hidx, H.dim_light_pick(st["step"]))
+            light_index = jnp.minimum(
+                (light_sample * n_lights).astype(jnp.int32), n_lights - 1
+            )
+            da, db = H.dim_area_sample(st["step"])
+            u_area = jnp.stack([H.halton(hidx, da), H.halton(hidx, db)], -1)
+            l_dir, l_col, l_dist = S.evaluate_light(scene.lights, light_index, u_area, world_point)
+            l_col = l_col * f32(n_lights)  # 1-of-N compensation, :647
+
+            # --- shading -----------------------------------------------------
+            if settings.shading_mode == T.SHADING_MODE_LEGACY:
+                # (Raytracing.metal:649-690)
+                L = S.normalize(l_dir)
+                n_dot_l = S.saturate(S.dot3(shading_nrm, L))
+                legacy_color = st["color"] * albedo
+                dead_before = S.length(legacy_color) < 0.001
+                st["active"] = st["active"] & ~(lit & dead_before)
+                lit = lit & ~dead_before
+
+                need_shadow = lit & (S.length(l_col) > 0.0001) & (n_dot_l > 0.0)
+                shadow_rays = T.Rays(
+                    origin=world_point + nrm * 1e-3,
+                    direction=l_dir,
+                    max_distance=l_dist - 1e-3,
+                )
+                occluded = traverse.any_hit(
+                    bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, shadow_rays, mask=need_shadow
+                )
+                contrib = legacy_color * l_col * n_dot_l[:, None]
+                st["accumulated"] = st["accumulated"] + jnp.where(
+                    (need_shadow & ~occluded)[:, None], contrib, 0.0
+                )
+
+                new_color = legacy_color * ao[:, None]
+                st["color"] = jnp.where(lit[:, None], new_color, st["color"])
+                dead_after = S.length(st["color"]) < 0.001
+                st["active"] = st["active"] & ~(lit & dead_after)
+                lit = lit & ~dead_after
+            else:
+                # PBR (Raytracing.metal:692-744)
+                perceptual_roughness = jnp.clip(roughness, 0.04, 1.0)
+                alpha = perceptual_roughness * perceptual_roughness
+                diffuse_color = albedo
+                F0 = 0.04 + (albedo - 0.04) * metallic[:, None]
+                V = S.normalize(-st["ray_d"])
+
+                has_light = S.length(l_col) > 0.0001
+                L = S.normalize(l_dir)
+                Hv = S.normalize(V + L)
+                n_dot_l = S.saturate(S.dot3(shading_nrm, L))
+                n_dot_v = S.saturate(S.dot3(shading_nrm, V))
+                n_dot_h = S.saturate(S.dot3(shading_nrm, Hv))
+                v_dot_h = S.saturate(S.dot3(V, Hv))
+
+                Fr = S.fresnel_schlick(v_dot_h, F0)
+                D = S.distribution_ggx(n_dot_h, alpha)
+                kk = (perceptual_roughness + 1.0)
+                kk = (kk * kk) / 8.0
+                G = S.geometry_smith(n_dot_v, n_dot_l, kk)
+                specular = (D * G)[:, None] * Fr / jnp.maximum(4.0 * n_dot_v * n_dot_l, 1e-4)[:, None]
+                kS = Fr
+                kD = (1.0 - kS) * (1.0 - metallic)[:, None]
+                diffuse = kD * diffuse_color / S.PI
+                direct = (diffuse + specular) * l_col * n_dot_l[:, None]
+
+                need_shadow = lit & has_light
+                shadow_rays = T.Rays(
+                    origin=world_point + nrm * 1e-3,
+                    direction=l_dir,
+                    max_distance=l_dist - 1e-3,
+                )
+                occluded = traverse.any_hit(
+                    bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, shadow_rays, mask=need_shadow
+                )
+                st["accumulated"] = st["accumulated"] + jnp.where(
+                    (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
+                )
+
+                # throughput: diffuse-only, AO on indirect (Raytracing.metal:746-748)
+                new_color = st["color"] * diffuse_color * ((1.0 - metallic) * ao)[:, None]
+                st["color"] = jnp.where(lit[:, None], new_color, st["color"])
+                dead = S.length(st["color"]) < 0.001
+                st["active"] = st["active"] & ~(lit & dead)
+                lit = lit & ~dead
+
+            # --- cosine-hemisphere bounce (Raytracing.metal:755-774) ---------
+            dbx, dby = H.dim_bounce(st["step"])
+            u_b = jnp.stack([H.halton(hidx, dbx), H.halton(hidx, dby)], -1)
+            local_dir = S.sample_cosine_hemisphere(u_b)
+            bounce_dir = S.align_hemisphere_with_normal(local_dir, shading_nrm)
+            st["ray_o"] = jnp.where(lit[:, None], world_point + nrm * 1e-3, st["ray_o"])
+            st["ray_d"] = jnp.where(lit[:, None], bounce_dir, st["ray_d"])
+            st["step"] = jnp.where(lit, st["step"] + 1, st["step"])
+            st["bounce"] = jnp.where(lit, st["bounce"] + 1, st["bounce"])
+            st["tpasses"] = jnp.where(lit, 0, st["tpasses"])
+
+            st["active"] = st["active"] & (st["bounce"] < settings.max_bounces)
+            st["iter"] = st["iter"] + 1
+            return st
+
+        st = jax.lax.while_loop(cond, body, state)
+        return (
+            st["accumulated"],
+            st["had_primary"],
+            st["depth"],
+            st["motion"],
+            (st["gb_diff"], st["gb_spec"], st["gb_norm"], st["gb_rough"]),
+        )
+
+    # --- sample loop with motion-adaptive extra samples ----------------------
+    # (Raytracing.metal:263-293,779-789)
+    def sample_body(sample_index, carry):
+        total_color, total_samples, had0, depth0, motion0, g0 = carry
+        radiance, had, depth, motion, g = trace_one_sample(
+            sample_index, total_color, had0, depth0, motion0, g0
+        )
+        counted = sample_index < total_samples
+        total_color = total_color + jnp.where(counted[:, None], radiance, 0.0)
+
+        is0 = sample_index == 0
+        had0 = jnp.where(is0, had, had0)
+        depth0 = jnp.where(is0, depth, depth0)
+        motion0 = jnp.where(is0, motion, motion0)
+        g0 = tuple(jnp.where(is0, gi, g0i) for gi, g0i in zip(g, g0))
+
+        if max_extra > 0:
+            # decided once, after sample 0 (Raytracing.metal:779-789)
+            motion_mag = jnp.maximum(S.length(motion), S.length(prev_motion))
+            low = jnp.maximum(uniforms.motion_sampling_low_px, 0.0)
+            high = jnp.maximum(uniforms.motion_sampling_high_px, low + 1e-3)
+            t = jnp.clip((motion_mag - low) / (high - low), 0.0, 1.0)
+            extra = jnp.clip(jnp.round(t * max_extra).astype(jnp.int32), 0, max_extra)
+            total_samples = jnp.where(is0, base_samples + extra, total_samples)
+        return total_color, total_samples, had0, depth0, motion0, g0
+
+    P3 = jnp.zeros((P, 3), jnp.float32)
+    carry0 = (
+        P3,
+        jnp.full((P,), base_samples, jnp.int32),
+        jnp.zeros((P,), bool),
+        jnp.full((P,), 1.0e8, jnp.float32),
+        jnp.zeros((P, 2), jnp.float32),
+        (P3, P3, P3, jnp.zeros((P,), jnp.float32)),
+    )
+    total_color, total_samples, had0, depth0, motion0, g0 = jax.lax.fori_loop(
+        0, sample_stride, sample_body, carry0
+    )
+
+    # average all samples (Raytracing.metal:793)
+    total_color = total_color / jnp.maximum(total_samples, 1).astype(jnp.float32)[:, None]
+
+    return TileOutputs(
+        color=total_color,
+        depth=depth0,
+        motion=motion0,
+        diffuse_albedo=g0[0],
+        specular_albedo=g0[1],
+        normal=g0[2],
+        roughness=g0[3],
+    )

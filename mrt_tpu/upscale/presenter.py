@@ -1,0 +1,65 @@
+"""Presenter — upscale + tonemap + image-sink, replacing the FramePresenter
+protocol + full-screen blit (FramePresenter.swift:528-547, Shaders.metal:30-52).
+
+There is no swapchain on TPU: "present" = produce a uint8 image (PNG/stream).
+The scaler priority chain denoised > temporal > spatial mirrors
+FramePresenter.swift:381-403.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.shade import reinhard_tonemap
+from . import spatial, temporal
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _present_spatial(color, out_h, out_w, method):
+    up = spatial.upscale(color, out_h, out_w, method=method)
+    return (jnp.clip(reinhard_tonemap(up), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _present_temporal(color, depth, motion, history, out_h, out_w):
+    up, new_history = temporal.temporal_upscale(color, depth, motion, history, out_h, out_w)
+    img = (jnp.clip(reinhard_tonemap(up), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return img, new_history
+
+
+def present(renderer) -> np.ndarray:
+    """Tonemapped uint8 RGB at output resolution. Rows are flipped so row 0 is
+    the top of the image (the render buffer is in texture order: row 0 has
+    uv.y = -1, which the reference's blit quad places at the screen bottom)."""
+    from ..engine import renderer as R
+
+    mode = renderer.upscaler_mode
+    out_h, out_w = renderer.output_height, renderer.output_width
+
+    if mode in (R.UPSCALER_TEMPORAL, R.UPSCALER_DENOISED):
+        color = renderer.accum
+        if mode == R.UPSCALER_DENOISED and renderer.gbuffer is not None:
+            from . import denoise
+
+            color = denoise.demodulate_filter(color, renderer.gbuffer)
+        history = getattr(renderer, "_upscale_history", None)
+        if history is None or history.shape != (out_h, out_w, 3):
+            history = jnp.zeros((out_h, out_w, 3), jnp.float32)
+        img, new_history = _present_temporal(
+            color, renderer.depth, renderer.motion, history, out_h, out_w
+        )
+        object.__setattr__(renderer, "_upscale_history", new_history)
+    else:
+        img = _present_spatial(renderer.accum, out_h, out_w, "lanczos3")
+
+    return np.asarray(img)[::-1]
+
+
+def write_png(path: str, image_u8: np.ndarray):
+    from PIL import Image
+
+    Image.fromarray(image_u8, "RGB").save(path)

@@ -1,0 +1,88 @@
+"""Temporal upscaler — the MetalFX ``MTLFXTemporalScaler`` replacement
+(FramePresenter.swift:302-363): history reprojection through the motion/depth
+targets the render kernel already produces (color rgba16F, depth r32F, motion
+rg16F input contract, FramePresenter.swift:319-337).
+
+The camera's per-frame Halton AA jitter (Raytracing.metal:272-275) makes
+successive frames sample different sub-pixel positions, so blending the
+reprojected history at output resolution reconstructs detail above render
+resolution — the same principle MetalFX relies on.
+
+Motion convention (Raytracing.metal:378-387): pixels, +X right, +Y down in
+*display* space; render rows store v bottom-up, so a +Y (downward) motion is
+a -row motion. Reprojection therefore samples history at row + motion.y.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
+    """Sample (H,W,C) at fractional (rows, cols); clamp addressing.
+    Returns (vals, in_bounds_mask)."""
+    h, w = img.shape[0], img.shape[1]
+    in_bounds = (rows >= 0) & (rows <= h - 1) & (cols >= 0) & (cols <= w - 1)
+    r = jnp.clip(rows, 0.0, h - 1.0)
+    c = jnp.clip(cols, 0.0, w - 1.0)
+    r0 = jnp.floor(r)
+    c0 = jnp.floor(c)
+    fr = (r - r0)[..., None]
+    fc = (c - c0)[..., None]
+    r0i = r0.astype(jnp.int32)
+    c0i = c0.astype(jnp.int32)
+    r1i = jnp.minimum(r0i + 1, h - 1)
+    c1i = jnp.minimum(c0i + 1, w - 1)
+    v00 = img[r0i, c0i]
+    v01 = img[r0i, c1i]
+    v10 = img[r1i, c0i]
+    v11 = img[r1i, c1i]
+    top = v00 * (1 - fc) + v01 * fc
+    bot = v10 * (1 - fc) + v11 * fc
+    return top * (1 - fr) + bot * fr, in_bounds
+
+
+def temporal_upscale(
+    color: jnp.ndarray,  # (h,w,3) render-res radiance
+    depth: jnp.ndarray,  # (h,w)
+    motion: jnp.ndarray,  # (h,w,2) pixels at render res, +Y down (display)
+    history: jnp.ndarray,  # (H,W,3) output-res accumulated history
+    out_h: int,
+    out_w: int,
+    history_weight: float = 0.9,
+):
+    """Returns (output (H,W,3), new_history (H,W,3))."""
+    h, w = color.shape[0], color.shape[1]
+    sy = out_h / h
+    sx = out_w / w
+
+    # Upsample current color + motion to output res (bilinear).
+    rows = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / sy - 0.5
+    cols = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / sx - 0.5
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    cur, _ = _bilinear_sample(color, rr, cc)
+    mot, _ = _bilinear_sample(motion, rr, cc)
+    mot = mot * jnp.asarray([sx, sy], jnp.float32)  # motion in output pixels
+
+    # Reproject history: display +Y down == -row in our bottom-up buffers.
+    out_rows = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    out_cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    prev_r = out_rows + mot[..., 1]
+    prev_c = out_cols - mot[..., 0]
+    hist, valid = _bilinear_sample(history, prev_r, prev_c)
+
+    # Neighborhood clamp (3x3 min/max of current) suppresses ghosting.
+    pad = jnp.pad(cur, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stack = jnp.stack(
+        [pad[dr : dr + out_h, dc : dc + out_w] for dr in range(3) for dc in range(3)]
+    )
+    nmin = stack.min(axis=0)
+    nmax = stack.max(axis=0)
+    hist = jnp.clip(hist, nmin, nmax)
+
+    # Motion-aware blend: fast motion trusts current frame more.
+    mag = jnp.linalg.norm(mot, axis=-1, keepdims=True)
+    weight = history_weight * jnp.clip(1.0 - mag / 16.0, 0.25, 1.0)
+    weight = jnp.where(valid[..., None], weight, 0.0)
+    out = cur + (hist - cur) * weight
+    return out, out
