@@ -1,0 +1,152 @@
+"""Multi-chip rendering — ``shard_map`` over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2.3); this layer is the designed-from-
+scratch TPU scaling story:
+
+* **dp** (data parallel over pixels): the image's rows are sharded across the
+  ``dp`` mesh axis — each chip traces its own row block against a replicated
+  scene/BVH. This is the multi-chip analog of the 16x16 threadgroup grid
+  (Renderer.swift:1446-1451). Bit-identical to single-chip rendering.
+* **sp** (sample parallel): chips along ``sp`` trace the SAME pixels with
+  disjoint Halton sample indices (decorrelated by the sample_base offset) and
+  the radiance is combined with a ``psum`` mean over ICI. This multiplies
+  effective samples/frame without touching the adaptive-sampling logic's
+  semantics within each shard.
+
+Geometry transform + BVH refit are replicated per chip (cheap relative to
+tracing); sharding the BVH itself (ray-queue ring exchange for BVHs larger
+than HBM, SURVEY.md §5.7) is the planned extension.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..bvh import lbvh
+from ..core import types as T
+from ..engine import scene as scene_mod
+from ..render import accumulate as acc
+from ..render import wavefront as wf
+
+
+def make_mesh(n_devices: int | None = None, sp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    assert n_devices % sp == 0, f"{n_devices} devices not divisible by sp={sp}"
+    return Mesh(devices.reshape(n_devices // sp, sp), ("dp", "sp"))
+
+
+def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
+    """Returns a jitted distributed frame step:
+
+    step(scene, bvh, uniforms, offsets (H,W), prev_accum (H,W,3),
+         prev_motion (H,W,2)) -> (accum, depth, motion)
+
+    Row dimension must be divisible by the dp axis size.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    h = settings.height
+    assert h % dp == 0, f"height {h} not divisible by dp={dp}"
+    local_h = h // dp
+    sample_stride = settings.sample_stride
+
+    def shard_fn(scene, bvh, uniforms, offsets_blk, prev_accum_blk, prev_motion_blk):
+        dp_rank = jax.lax.axis_index("dp")
+        sp_rank = jax.lax.axis_index("sp")
+        y0 = dp_rank * local_h
+
+        # Replicated per chip: world transforms + BVH refit.
+        pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
+        geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
+        bvh = lbvh.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+
+        # Each sp shard uses a disjoint Halton index window.
+        sample_base = (uniforms.frame_index * sp + sp_rank) * sample_stride
+
+        out = wf.trace_block(
+            settings, statics, scene, bvh, geom, uniforms,
+            offsets_blk, prev_motion_blk, y0=y0, sample_base=sample_base,
+        )
+
+        # Combine samples across the sp axis (ICI collective).
+        color = jax.lax.pmean(out.color, "sp")
+        depth = jax.lax.pmean(out.depth, "sp")
+        motion = jax.lax.pmean(out.motion, "sp")
+
+        accum = acc.accumulate(settings, uniforms, color, motion, prev_motion_blk, prev_accum_blk)
+        return accum, depth, motion
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp", None), P("dp", None, None), P("dp", None, None)),
+        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None)),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+class DistributedRenderer:
+    """Thin multi-chip driver mirroring the single-chip Renderer's draw loop.
+
+    Wraps a compiled scene + mesh; keeps accumulation state sharded across
+    the dp axis.
+    """
+
+    def __init__(self, scene: scene_mod.Scene, settings: T.RenderSettings, mesh: Mesh | None = None, sp: int = 1, seed: int = 0):
+        from ..core import halton as H
+        from ..engine.renderer import Renderer
+
+        self.mesh = mesh if mesh is not None else make_mesh(sp=sp)
+        self.scene = scene
+        self.settings = settings
+        self.scene_data, self.statics = scene.compile()
+
+        # host-side initial BVH topology (shared with single-chip path)
+        tmp = Renderer.__new__(Renderer)
+        object.__setattr__(tmp, "_initialized", False)
+        tmp.scene_data = self.scene_data
+        Renderer._build_bvh(tmp)
+        self.bvh = tmp.bvh
+
+        self.step = build_render_step(settings, self.statics, self.mesh)
+        h, w = settings.height, settings.width
+        key = jax.random.PRNGKey(seed)
+        self.offsets = H.make_pixel_offsets(key, h, w)
+        self.accum = jnp.zeros((h, w, 3), jnp.float32)
+        self.motion = jnp.zeros((h, w, 2), jnp.float32)
+        self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
+        self.frame_index = 0
+        self._previous_camera: T.Camera | None = None
+
+    def draw(self):
+        camera = T.orbit_camera(
+            self.settings.width,
+            self.settings.height,
+            self.scene.camera_target,
+            self.scene.camera_azimuth,
+            self.scene.camera_elevation,
+            self.scene.camera_distance,
+            self.scene.camera_fov_degrees,
+        )
+        uniforms = T.make_frame_uniforms(
+            camera=camera,
+            previous_camera=self._previous_camera or camera,
+            frame_index=self.frame_index,
+        )
+        self.accum, self.depth, self.motion = self.step(
+            self.scene_data, self.bvh, uniforms, self.offsets, self.accum, self.motion
+        )
+        self.frame_index += 1
+        self._previous_camera = camera
+        return self.accum

@@ -71,47 +71,19 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
     geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
     bvh = lbvh.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
-    h, w = settings.height, settings.width
-    n_pix = h * w
-    tile = min(settings.tile_pixels, n_pix)
-    n_tiles = -(-n_pix // tile)
-    padded = n_tiles * tile
+    out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
 
-    flat_idx = jnp.arange(padded, dtype=jnp.int32)
-    px = (flat_idx % w).reshape(n_tiles, tile)
-    py = jnp.minimum(flat_idx // w, h - 1).reshape(n_tiles, tile)
-    offs = jnp.pad(offsets.reshape(-1), (0, padded - n_pix)).reshape(n_tiles, tile)
-    pmot = jnp.pad(prev_motion.reshape(-1, 2), ((0, padded - n_pix), (0, 0))).reshape(
-        n_tiles, tile, 2
-    )
-
-    def do_tile(args):
-        tpx, tpy, toffs, tpmot = args
-        return wf.trace_tile(
-            settings, statics, scene, bvh, geom, uniforms, tpx, tpy, toffs, tpmot
-        )
-
-    out = jax.lax.map(do_tile, (px, py, offs, pmot))
-
-    def unpad(a, ch=None):
-        a = a.reshape((padded,) + a.shape[2:])[:n_pix]
-        return a.reshape((h, w) + a.shape[1:])
-
-    color = unpad(out.color)
-    depth = unpad(out.depth)
-    motion = unpad(out.motion)
-
-    accum = acc.accumulate(settings, uniforms, color, motion, prev_motion, prev_accum)
+    accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
 
     gbuffer = None
     if settings.enable_gbuffer:
         gbuffer = dict(
-            diffuse_albedo=unpad(out.diffuse_albedo),
-            specular_albedo=unpad(out.specular_albedo),
-            normal=unpad(out.normal),
-            roughness=unpad(out.roughness),
+            diffuse_albedo=out.diffuse_albedo,
+            specular_albedo=out.specular_albedo,
+            normal=out.normal,
+            roughness=out.roughness,
         )
-    return accum, depth, motion, gbuffer
+    return accum, out.depth, out.motion, gbuffer
 
 
 class Renderer:

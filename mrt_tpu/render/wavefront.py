@@ -95,6 +95,9 @@ def trace_tile(
     pixel_y: jnp.ndarray,  # (P,) int32
     offsets: jnp.ndarray,  # (P,) int32 halton decorrelation offsets
     prev_motion: jnp.ndarray,  # (P,2) previous-frame motion at these pixels
+    sample_base: jnp.ndarray | None = None,  # () int32 Halton index base;
+    # defaults to frame_index * sample_stride (Raytracing.metal:270). Sample-
+    # parallel shards pass (frame_index * sp_size + sp_rank) * sample_stride.
 ) -> TileOutputs:
     P = pixel_x.shape[0]
     f32 = jnp.float32
@@ -107,10 +110,14 @@ def trace_tile(
     width_f = f32(settings.width)
     height_f = f32(settings.height)
 
+    base = (
+        uniforms.frame_index * sample_stride if sample_base is None else sample_base
+    )
+
     def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0):
         """Body of the spp loop (Raytracing.metal:269-790). Returns the
         sample radiance and (on sample 0) primary depth/motion/G-buffer."""
-        frame_offset = uniforms.frame_index * sample_stride + sample_index
+        frame_offset = base + sample_index
         hidx = offsets + frame_offset
 
         # --- camera ray (Raytracing.metal:272-291) --------------------------
@@ -517,3 +524,52 @@ def trace_tile(
         normal=g0[2],
         roughness=g0[3],
     )
+
+
+def trace_block(
+    settings: T.RenderSettings,
+    statics: SceneStatics,
+    scene: SceneData,
+    bvh: BVH,
+    geom: Geometry,
+    uniforms: T.FrameUniforms,
+    offsets: jnp.ndarray,  # (h_blk, W) int32
+    prev_motion: jnp.ndarray,  # (h_blk, W, 2)
+    y0: jnp.ndarray | int = 0,  # global row of the block's first row
+    sample_base: jnp.ndarray | None = None,
+):
+    """Trace a contiguous row block of the image, tiled into fixed-size ray
+    batches via ``lax.map`` (the 16x16-threadgroup-grid analog,
+    Renderer.swift:1446-1451). Returns TileOutputs with (h_blk, W) leading dims.
+
+    ``y0`` offsets pixel_y so data-parallel shards each trace their own rows
+    of the global image.
+    """
+    h_blk, w = offsets.shape
+    n_pix = h_blk * w
+    tile = min(settings.tile_pixels, n_pix)
+    n_tiles = -(-n_pix // tile)
+    padded = n_tiles * tile
+
+    flat_idx = jnp.arange(padded, dtype=jnp.int32)
+    px = (flat_idx % w).reshape(n_tiles, tile)
+    py = (jnp.minimum(flat_idx // w, h_blk - 1) + y0).reshape(n_tiles, tile)
+    offs = jnp.pad(offsets.reshape(-1), (0, padded - n_pix)).reshape(n_tiles, tile)
+    pmot = jnp.pad(prev_motion.reshape(-1, 2), ((0, padded - n_pix), (0, 0))).reshape(
+        n_tiles, tile, 2
+    )
+
+    def do_tile(args):
+        tpx, tpy, toffs, tpmot = args
+        return trace_tile(
+            settings, statics, scene, bvh, geom, uniforms, tpx, tpy, toffs, tpmot,
+            sample_base=sample_base,
+        )
+
+    out = jax.lax.map(do_tile, (px, py, offs, pmot))
+
+    def unpad(a):
+        a = a.reshape((padded,) + a.shape[2:])[:n_pix]
+        return a.reshape((h_blk, w) + a.shape[1:])
+
+    return TileOutputs(*(unpad(x) for x in out))

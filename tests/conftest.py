@@ -2,13 +2,20 @@
 
 Runs the whole suite on a virtual 8-device CPU mesh so multi-chip sharding
 paths are exercised without TPU hardware (SURVEY.md §4's "distributed tests
-without a real cluster" analog). Must set flags before JAX initializes.
+without a real cluster" analog).
+
+Note: this image's sitecustomize registers the axon TPU plugin and overrides
+JAX_PLATFORMS via jax.config, so env vars alone don't stick — we must call
+jax.config.update after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
