@@ -1,0 +1,485 @@
+"""Wide (8-ary) BVH with packed gather rows — the performance traversal path.
+
+Why this shape (measured on TPU v5e, see bench notes in git history):
+XLA's gather costs ~10-20 ns per ROW regardless of row width (1..64 f32), so
+the whole traversal is gather-count-bound. The design therefore packs
+everything a traversal step needs into ONE 64-float row:
+
+* internal row: 8 child AABBs in SoA order [bminx*8|bminy*8|bminz*8|
+  bmaxx*8|bmaxy*8|bmaxz*8] (48) + 8 child entry ids (int32 bitcast, 48..55)
+* leaf row: 4 whole triangles [v0x*4|v0y*4|v0z*4|v1x*4|...|v2z*4] (36) +
+  4 original triangle ids (36..39)
+
+One unified table (internal rows first, then leaf rows) means each loop
+iteration does exactly one row gather; a lane decodes its row as internal or
+leaf locally. The per-ray stack is a (R, S) array updated with one-hot
+selects (a scatter would be another gather-class op); children are pushed
+far-to-near after an 8-wide bitonic sort by entry distance so the nearest
+child pops first and best-t prunes the rest.
+
+Topology is collapsed host-side from the binary Karras tree (lbvh.py);
+AABB refit runs on device with a fixed trip count so skinning/instance motion
+stays inside the jitted frame step (the BLAS/TLAS refit analog,
+Renderer.swift:1084-1202).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Hits, Rays
+from . import lbvh
+
+ARITY = 8
+LEAF_K = 4
+ROW = 64
+STACK = 40
+
+_EMPTY = -1  # empty child slot
+
+# Integer ids are stored in the f32 table via bitcast. Small ints are DENORMAL
+# f32 bit patterns and TPU flushes denormals to zero (which would turn child
+# pointers into "root" and create traversal cycles), so ids are biased into
+# the normal-float exponent range before the bitcast.
+_ID_BIAS = 1 << 30
+
+
+def _encode_ids(ids: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(ids + _ID_BIAS, jnp.float32)
+
+
+def _decode_ids(floats: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(floats, jnp.int32) - _ID_BIAS
+
+
+@jax.tree_util.register_pytree_node_class
+class WideBVH:
+    """Pytree with static (aux) n_internal/depth so jitted code can branch on
+    them (they define trace structure, not data)."""
+
+    def __init__(self, table, node_child, leaf_tri, n_internal: int, depth: int):
+        self.table = table  # (N, 64) f32 unified gather table
+        self.node_child = node_child  # (Ni, 8) int32 entry ids, -1 = empty
+        self.leaf_tri = leaf_tri  # (Nl, 4) int32 original tri ids, -1 = pad
+        self.n_internal = int(n_internal)
+        self.depth = int(depth)
+
+    @property
+    def n_rows(self) -> int:
+        return self.table.shape[0]
+
+    def _replace(self, **kw) -> "WideBVH":
+        d = dict(
+            table=self.table,
+            node_child=self.node_child,
+            leaf_tri=self.leaf_tri,
+            n_internal=self.n_internal,
+            depth=self.depth,
+        )
+        d.update(kw)
+        return WideBVH(**d)
+
+    def tree_flatten(self):
+        return (self.table, self.node_child, self.leaf_tri), (self.n_internal, self.depth)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+# --------------------------------------------------------------------------
+# Host-side build: binary Karras tree -> 8-ary, 4-tri leaves
+# --------------------------------------------------------------------------
+
+def _binary_ranges(left: np.ndarray, right: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-leaf index range [lo, hi] covered by each binary node (leaves of
+    a Karras internal node are contiguous). Combined ids: internal 0..n-2,
+    leaf (n-1)+i."""
+    total = 2 * n - 1
+    lo = np.zeros(total, np.int64)
+    hi = np.zeros(total, np.int64)
+    n_int = n - 1
+    lo[n_int:] = np.arange(n)
+    hi[n_int:] = np.arange(n)
+    # bottom-up: iterate until fixed point (depth-bounded)
+    lo_i = np.full(n_int, -1, np.int64)
+    hi_i = np.full(n_int, -1, np.int64)
+    for _ in range(2 * n):
+        l_lo = np.where(left < n_int, lo_i[np.clip(left, 0, max(n_int - 1, 0))], lo[np.clip(left, 0, total - 1)])
+        r_hi = np.where(right < n_int, hi_i[np.clip(right, 0, max(n_int - 1, 0))], hi[np.clip(right, 0, total - 1)])
+        new_lo = l_lo
+        new_hi = r_hi
+        if np.array_equal(new_lo, lo_i) and np.array_equal(new_hi, hi_i):
+            break
+        lo_i, hi_i = new_lo, new_hi
+    lo[:n_int] = lo_i
+    hi[:n_int] = hi_i
+    return lo, hi
+
+
+def build_topology_wide(bin_left: np.ndarray, bin_right: np.ndarray, leaf_order: np.ndarray):
+    """Collapse the binary radix tree into (node_child, leaf_tri, depth).
+
+    Entry-id space: internal rows [0, Ni), leaf rows [Ni, Ni+Nl).
+    """
+    n = leaf_order.shape[0]
+    n_int_bin = n - 1
+
+    if n <= LEAF_K:
+        leaf = np.full((1, LEAF_K), -1, np.int32)
+        leaf[0, :n] = leaf_order[:n]
+        return np.zeros((0, ARITY), np.int32), leaf, 1
+
+    lo, hi = _binary_ranges(bin_left, bin_right, n)
+    count = hi - lo + 1
+
+    node_children: list = []  # list of lists of ('I', idx) / ('L', idx)
+    leaves: list = []
+
+    def make_leaf(bin_id: int) -> int:
+        tris = leaf_order[lo[bin_id] : hi[bin_id] + 1]
+        row = np.full(LEAF_K, -1, np.int32)
+        row[: len(tris)] = tris
+        leaves.append(row)
+        return len(leaves) - 1
+
+    # Iterative DFS: emit internal nodes in preorder.
+    root = 0
+    node_children.append(None)  # placeholder for root
+    work = [(0, root)]  # (internal row idx, binary node id)
+    while work:
+        row_idx, bin_id = work.pop()
+        # Expand to up to ARITY subtree roots, splitting the largest first.
+        roots = [bin_id]
+        while len(roots) < ARITY:
+            best, best_count = -1, LEAF_K
+            for k, r in enumerate(roots):
+                c = int(count[r]) if r < n_int_bin else 1
+                if r < n_int_bin and c > best_count:
+                    best, best_count = k, c
+            if best < 0:
+                break
+            r = roots.pop(best)
+            roots.insert(best, int(bin_right[r]))
+            roots.insert(best, int(bin_left[r]))
+        children = []
+        for r in roots:
+            c = int(count[r]) if r < n_int_bin else 1
+            if r >= n_int_bin or c <= LEAF_K:
+                # binary leaf or small subtree -> wide leaf row
+                if r >= n_int_bin:
+                    # single binary leaf
+                    tri = leaf_order[r - n_int_bin]
+                    row = np.full(LEAF_K, -1, np.int32)
+                    row[0] = tri
+                    leaves.append(row)
+                    children.append(("L", len(leaves) - 1))
+                else:
+                    children.append(("L", make_leaf(r)))
+            else:
+                node_children.append(None)
+                idx = len(node_children) - 1
+                children.append(("I", idx))
+                work.append((idx, r))
+        node_children[row_idx] = children
+
+    n_i = len(node_children)
+    child_arr = np.full((n_i, ARITY), _EMPTY, np.int32)
+    for i, children in enumerate(node_children):
+        for j, (kind, idx) in enumerate(children):
+            child_arr[i, j] = idx if kind == "I" else n_i + idx
+    leaf_arr = np.stack(leaves).astype(np.int32)
+
+    # depth for refit trip count
+    depth = np.ones(n_i, np.int32)
+    for i in range(n_i - 1, -1, -1):
+        for j in range(ARITY):
+            c = child_arr[i, j]
+            if 0 <= c < n_i:
+                depth[i] = max(depth[i], depth[c] + 1)
+    return child_arr, leaf_arr, int(depth[0]) + 1
+
+
+def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray) -> WideBVH:
+    """Rebuild the packed table's geometry (leaf verts + all child AABBs)
+    from world-space triangle vertices. Jittable, fixed trip count."""
+    n_i = wbvh.n_internal
+    leaf_tri = wbvh.leaf_tri  # (Nl, 4)
+    n_l = leaf_tri.shape[0]
+    pad = leaf_tri < 0
+    tid = jnp.maximum(leaf_tri, 0)
+
+    def g(v):
+        return jnp.take(v, tid.reshape(-1), axis=0).reshape(n_l, LEAF_K, 3)
+
+    w0, w1, w2 = g(v0), g(v1), g(v2)
+    nan = jnp.nan
+    w0 = jnp.where(pad[..., None], nan, w0)
+    w1 = jnp.where(pad[..., None], nan, w1)
+    w2 = jnp.where(pad[..., None], nan, w2)
+
+    # leaf rows: [v0x*4 v0y*4 v0z*4 v1x*4 ... v2z*4 | ids*4 | pad]
+    comps = [w0[:, :, 0], w0[:, :, 1], w0[:, :, 2],
+             w1[:, :, 0], w1[:, :, 1], w1[:, :, 2],
+             w2[:, :, 0], w2[:, :, 1], w2[:, :, 2]]
+    leaf_rows = jnp.concatenate(comps + [_encode_ids(leaf_tri)], axis=1)  # (Nl, 40)
+    leaf_rows = jnp.pad(leaf_rows, ((0, 0), (0, ROW - leaf_rows.shape[1])))
+
+    # leaf own bboxes (ignore NaN pads)
+    stacked = jnp.stack([w0, w1, w2], axis=2)  # (Nl, 4, 3, 3)
+    valid = ~pad
+    big = jnp.where(valid[:, :, None, None], stacked, jnp.inf)
+    small = jnp.where(valid[:, :, None, None], stacked, -jnp.inf)
+    leaf_bmin = jnp.min(big, axis=(1, 2)) - 1e-7  # (Nl, 3)
+    leaf_bmax = jnp.max(small, axis=(1, 2)) + 1e-7
+
+    if n_i == 0:
+        return wbvh._replace(table=leaf_rows)
+
+    # bottom-up: entry bboxes; internal rows from child bboxes
+    entry_bmin = jnp.concatenate([jnp.full((n_i, 3), jnp.inf), leaf_bmin])
+    entry_bmax = jnp.concatenate([jnp.full((n_i, 3), -jnp.inf), leaf_bmax])
+    child = wbvh.node_child  # (Ni, 8)
+    empty = child < 0
+    cidx = jnp.maximum(child, 0)
+
+    def body(_, carry):
+        bmin, bmax = carry
+        cmin = jnp.take(bmin, cidx.reshape(-1), axis=0).reshape(n_i, ARITY, 3)
+        cmax = jnp.take(bmax, cidx.reshape(-1), axis=0).reshape(n_i, ARITY, 3)
+        cmin = jnp.where(empty[..., None], jnp.inf, cmin)
+        cmax = jnp.where(empty[..., None], -jnp.inf, cmax)
+        own_min = jnp.min(cmin, axis=1)
+        own_max = jnp.max(cmax, axis=1)
+        bmin = bmin.at[:n_i].set(own_min)
+        bmax = bmax.at[:n_i].set(own_max)
+        return bmin, bmax
+
+    entry_bmin, entry_bmax = jax.lax.fori_loop(0, wbvh.depth, body, (entry_bmin, entry_bmax))
+
+    cmin = jnp.take(entry_bmin, cidx.reshape(-1), axis=0).reshape(n_i, ARITY, 3)
+    cmax = jnp.take(entry_bmax, cidx.reshape(-1), axis=0).reshape(n_i, ARITY, 3)
+    cmin = jnp.where(empty[..., None], jnp.inf, cmin)
+    cmax = jnp.where(empty[..., None], -jnp.inf, cmax)
+    node_rows = jnp.concatenate(
+        [
+            cmin[:, :, 0], cmin[:, :, 1], cmin[:, :, 2],
+            cmax[:, :, 0], cmax[:, :, 1], cmax[:, :, 2],
+            _encode_ids(child),
+        ],
+        axis=1,
+    )  # (Ni, 56)
+    node_rows = jnp.pad(node_rows, ((0, 0), (0, ROW - node_rows.shape[1])))
+    table = jnp.concatenate([node_rows, leaf_rows], axis=0)
+    return wbvh._replace(table=table)
+
+
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> WideBVH:
+    """Host build: Karras binary topology -> wide collapse -> device refit."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    centroids = (v0 + v1 + v2) / 3.0
+    bl, br, _, order, _ = lbvh.build_topology(centroids)
+    child, leaf, depth = build_topology_wide(bl, br, order)
+    n_rows = child.shape[0] + leaf.shape[0]
+    wbvh = WideBVH(
+        table=jnp.zeros((n_rows, ROW), jnp.float32),
+        node_child=jnp.asarray(child),
+        leaf_tri=jnp.asarray(leaf),
+        n_internal=int(child.shape[0]),
+        depth=depth,
+    )
+    # jit: eager per-op dispatch of the refit graph is seconds of host overhead
+    return jax.jit(refit)(wbvh, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2))
+
+
+# --------------------------------------------------------------------------
+# Traversal
+# --------------------------------------------------------------------------
+
+_SORT_PAIRS_8 = [  # bitonic sorting network for 8 elements
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+]
+
+
+def _sort8(t: jnp.ndarray, m: jnp.ndarray):
+    """Sort (R,8) t ascending, carrying meta m. Static network of selects."""
+    cols_t = [t[:, k] for k in range(8)]
+    cols_m = [m[:, k] for k in range(8)]
+    for a, b in _SORT_PAIRS_8:
+        swap = cols_t[a] > cols_t[b]
+        ta = jnp.where(swap, cols_t[b], cols_t[a])
+        tb = jnp.where(swap, cols_t[a], cols_t[b])
+        ma = jnp.where(swap, cols_m[b], cols_m[a])
+        mb = jnp.where(swap, cols_m[a], cols_m[b])
+        cols_t[a], cols_t[b] = ta, tb
+        cols_m[a], cols_m[b] = ma, mb
+    return cols_t, cols_m
+
+
+def _slot_onehot(sp: jnp.ndarray, stack_depth: int) -> jnp.ndarray:
+    """(R, S) one-hot of slot sp (clamped)."""
+    slots = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
+    return slots == jnp.clip(sp, 0, stack_depth - 1)[:, None]
+
+
+def _mt4(row, ox, oy, oz, dx, dy, dz, t_min, t_cap):
+    """4-wide Möller–Trumbore on a gathered leaf row. Component-wise on (R,4)
+    arrays (no reshapes — keeps everything in 2D vector registers)."""
+    v0x, v0y, v0z = row[:, 0:4], row[:, 4:8], row[:, 8:12]
+    v1x, v1y, v1z = row[:, 12:16], row[:, 16:20], row[:, 20:24]
+    v2x, v2y, v2z = row[:, 24:28], row[:, 28:32], row[:, 32:36]
+    e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+    e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+    # p = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    valid = jnp.abs(det) > 1e-9
+    inv = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    # q = t x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    hit = valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= t_min) & (t <= t_cap)
+    return hit, t, u, v
+
+
+def _aabb8(row, ox, oy, oz, ix, iy, iz, t_cap):
+    """8 child slab tests on a gathered internal row. Returns (hit8, t8)."""
+    bminx, bminy, bminz = row[:, 0:8], row[:, 8:16], row[:, 16:24]
+    bmaxx, bmaxy, bmaxz = row[:, 24:32], row[:, 32:40], row[:, 40:48]
+    t0x = (bminx - ox) * ix
+    t1x = (bmaxx - ox) * ix
+    t0y = (bminy - oy) * iy
+    t1y = (bmaxy - oy) * iy
+    t0z = (bminz - oz) * iz
+    t1z = (bmaxz - oz) * iz
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)), jnp.minimum(t0z, t1z)
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)), jnp.maximum(t0z, t1z)
+    )
+    hit = (tnear <= tfar) & (tfar >= 0.0) & (tnear <= t_cap)
+    return hit, jnp.maximum(tnear, 0.0)
+
+
+def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
+    n_rays = rays.origin.shape[0]
+    n_i = wbvh.n_internal
+    table = wbvh.table
+
+    ox, oy, oz = rays.origin[:, 0:1], rays.origin[:, 1:2], rays.origin[:, 2:3]
+    inv = 1.0 / jnp.where(jnp.abs(rays.direction) < 1e-12,
+                          jnp.where(rays.direction < 0, -1e-12, 1e-12), rays.direction)
+    ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+    dx, dy, dz = rays.direction[:, 0:1], rays.direction[:, 1:2], rays.direction[:, 2:3]
+
+    sp0 = jnp.ones((n_rays,), jnp.int32)
+    if mask is not None:
+        sp0 = jnp.where(mask, sp0, 0)
+
+    state = dict(
+        stack=jnp.zeros((n_rays, STACK), jnp.int32),  # root id 0 pre-pushed
+        sp=sp0,
+        best_t=jnp.asarray(rays.max_distance, jnp.float32),
+        best_tri=jnp.full((n_rays,), -1, jnp.int32),
+        best_u=jnp.zeros((n_rays,), jnp.float32),
+        best_v=jnp.zeros((n_rays,), jnp.float32),
+        found=jnp.zeros((n_rays,), bool),
+    )
+
+    def cond(st):
+        live = st["sp"] > 0
+        if any_hit_mode:
+            live = live & ~st["found"]
+        return jnp.any(live)
+
+    def body(st):
+        sp = st["sp"]
+        active = sp > 0
+        if any_hit_mode:
+            active = active & ~st["found"]
+        # pop via one-hot select (dynamic per-lane indexing is a gather;
+        # S-wide select is pure VPU)
+        top_oh = _slot_onehot(sp - 1, STACK)
+        entry = jnp.sum(jnp.where(top_oh, st["stack"], 0), axis=1)
+        entry = jnp.where(active, entry, 0)
+        sp = jnp.where(active, sp - 1, sp)
+
+        row = jnp.take(table, entry, axis=0)  # (R, 64) THE gather
+        is_leaf = entry >= n_i
+
+        t_cap = st["best_t"]
+
+        # ---- leaf: 4-wide MT ------------------------------------------------
+        l_hit, l_t, l_u, l_v = _mt4(row, ox, oy, oz, dx, dy, dz, t_min, t_cap[:, None])
+        lane_leaf = active & is_leaf
+        l_t_m = jnp.where(l_hit, l_t, jnp.inf)
+        jbest = jnp.argmin(l_t_m, axis=1)
+        oh4 = jnp.arange(4, dtype=jnp.int32)[None, :] == jbest[:, None]
+        cand_t = jnp.sum(jnp.where(oh4, l_t_m, 0.0), axis=1)
+        cand_any = jnp.any(l_hit, axis=1)
+        ids4 = _decode_ids(row[:, 36:40])
+        cand_tri = jnp.sum(jnp.where(oh4, ids4, 0), axis=1)
+        cand_u = jnp.sum(jnp.where(oh4, l_u, 0.0), axis=1)
+        cand_v = jnp.sum(jnp.where(oh4, l_v, 0.0), axis=1)
+        take = lane_leaf & cand_any & (cand_t < st["best_t"])
+        st["best_t"] = jnp.where(take, cand_t, st["best_t"])
+        st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
+        st["best_u"] = jnp.where(take, cand_u, st["best_u"])
+        st["best_v"] = jnp.where(take, cand_v, st["best_v"])
+        st["found"] = st["found"] | (lane_leaf & cand_any)
+
+        # ---- internal: 8 AABBs, sort, push far-to-near ----------------------
+        a_hit, a_t = _aabb8(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
+        meta = _decode_ids(row[:, 48:56])
+        t8 = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
+        cols_t, cols_m = _sort8(t8, meta)
+
+        lane_int = active & ~is_leaf
+        stack = st["stack"]
+        for k in range(ARITY - 1, -1, -1):
+            push = lane_int & jnp.isfinite(cols_t[k])
+            oh = _slot_onehot(sp, STACK) & push[:, None]
+            stack = jnp.where(oh, cols_m[k][:, None], stack)
+            sp = jnp.where(push, jnp.minimum(sp + 1, STACK), sp)
+
+        st["stack"] = stack
+        st["sp"] = sp
+        return st
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st
+
+
+def closest_hit(wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None) -> Hits:
+    st = _traverse(wbvh, rays, t_min, any_hit_mode=False, mask=mask)
+    found = st["best_tri"] >= 0
+    return Hits(
+        t=jnp.where(found, st["best_t"], jnp.inf),
+        triangle=st["best_tri"],
+        u=st["best_u"],
+        v=st["best_v"],
+    )
+
+
+def any_hit(wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None) -> jnp.ndarray:
+    st = _traverse(wbvh, rays, t_min, any_hit_mode=True, mask=mask)
+    return st["found"]

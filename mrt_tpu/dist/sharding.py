@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..bvh import lbvh
+from ..bvh import wide
 from ..core import types as T
 from ..engine import scene as scene_mod
 from ..render import accumulate as acc
@@ -68,7 +68,7 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
         # Replicated per chip: world transforms + BVH refit.
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
-        bvh = lbvh.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
         # Each sp shard uses a disjoint Halton index window.
         sample_base = (uniforms.frame_index * sp + sp_rank) * sample_stride

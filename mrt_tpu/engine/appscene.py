@@ -13,6 +13,28 @@ import numpy as np
 from .scene import Model, ModelMaterialOverride, Scene, SkinData
 
 
+def _attach_swing_rig(robot) -> None:
+    """Build a chain Skeleton + procedural swing clip for the robot stand-in
+    (the robot.usdz skeleton/animation analog, Model.swift:95-122)."""
+    from ..skinning import animation as anim
+    from ..utils import math3d
+
+    rest = robot.skin.rest_joints
+    n_joints = rest.shape[0]
+    local = np.zeros_like(rest)
+    local[0] = rest[0]
+    local[1:] = rest[1:] - rest[:-1]
+    rest_transforms = np.stack([math3d.translate(local[j]) for j in range(n_joints)])
+    inverse_bind = np.stack([math3d.translate(-rest[j]) for j in range(n_joints)])
+    paths = [f"root/{'/'.join(f'joint{i}' for i in range(j + 1))}" for j in range(n_joints)]
+    robot.skin.skeleton = anim.Skeleton(
+        joint_paths=paths,
+        rest_transforms=rest_transforms.astype(np.float32),
+        inverse_bind_transforms=inverse_bind.astype(np.float32),
+    )
+    robot.skin.animation = anim.make_swing_clip(n_joints, rest)
+
+
 def make_app_scene(width: int = 512, height: int = 512, include_robot: bool = True) -> Scene:
     scene = Scene(width=width, height=height)
     models = []
@@ -25,6 +47,7 @@ def make_app_scene(width: int = 512, height: int = 512, include_robot: bool = Tr
             # 0.01 USDZ scale so the stand-in is visible
             robot.scale = 1.0
             robot.skin = SkinData(joint_indices=ji, joint_weights=jw, rest_joints=rest)
+            _attach_swing_rig(robot)
         models.append(robot)
     models += [
         Model(

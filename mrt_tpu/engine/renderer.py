@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bvh import lbvh
+from ..bvh import wide
 from ..core import halton as H
 from ..core import types as T
 from ..render import accumulate as acc
@@ -61,15 +61,36 @@ VIEW_MODE_TPS = "tps"
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion):
-    """One frame: transforms -> refit -> trace tiles -> accumulate.
+def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion,
+                  skin_bundle=(), joint_matrices=()):
+    """One frame: skinning -> transforms -> refit -> trace tiles -> accumulate.
 
     offsets: (H,W) int32; prev_accum: (H,W,3); prev_motion: (H,W,2).
-    Returns (accum, depth, motion, gbuffer dict).
+    skin_bundle/joint_matrices: per-skinned-model SkinModelData and (J,4,4)
+    final matrices (statics.skin_slices gives their vertex slices).
+    Returns (accum, depth, motion, gbuffer dict, skinned positions_obj).
     """
+    # --- skinning: dense-weights matmul per skinned model (skinningKernel
+    # analog, Skinning.metal:7-49) + scatter into the vertex pool ------------
+    if statics.skin_slices:
+        from ..skinning import lbs
+
+        pos_obj = scene.positions_obj
+        nrm_obj = scene.normals_obj
+        for k, (_, start, _count) in enumerate(statics.skin_slices):
+            sp, sn = lbs.skin(
+                skin_bundle[k].weights_dense,
+                joint_matrices[k],
+                skin_bundle[k].rest_positions,
+                skin_bundle[k].rest_normals,
+            )
+            pos_obj = jax.lax.dynamic_update_slice(pos_obj, sp, (start, 0))
+            nrm_obj = jax.lax.dynamic_update_slice(nrm_obj, sn, (start, 0))
+        scene = scene._replace(positions_obj=pos_obj, normals_obj=nrm_obj)
+
     pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
     geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
-    bvh = lbvh.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+    bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
     out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
 
@@ -83,7 +104,7 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             normal=out.normal,
             roughness=out.roughness,
         )
-    return accum, out.depth, out.motion, gbuffer
+    return accum, out.depth, out.motion, gbuffer, scene.positions_obj
 
 
 class Renderer:
@@ -133,6 +154,13 @@ class Renderer:
         self.frame_index = 0
         self._previous_camera: T.Camera | None = None
         self._key = jax.random.PRNGKey(seed)
+
+        # animation / skinning clock (60 Hz throttle with catch-up,
+        # SkinningPass.swift:288-312)
+        self.skinning_delta_time = 1.0 / 60.0
+        self._scene_time = 0.0
+        self._last_skinning_update = None
+        self._joint_matrices: tuple = ()
 
         # --- compile scene -----------------------------------------------------
         self.scene_data, self.statics = scene.compile()
@@ -196,7 +224,7 @@ class Renderer:
         M = transforms[vinst]
         pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
         idx = np.asarray(scene.indices)
-        self.bvh = lbvh.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
+        self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
 
     def rebuild_bvh(self):
         self._build_bvh()
@@ -277,13 +305,17 @@ class Renderer:
             self.scene_data = self.scene_data._replace(prev_instance_transform=prev)
 
     # -- frame loop ------------------------------------------------------------------
-    def draw(self):
+    def draw(self, delta_time: float | None = None):
         """Render one frame (draw(in:) analog, Renderer.swift:1405-1503).
-        Returns the accumulation buffer (pre-tonemap, render scale)."""
+        Returns the accumulation buffer (pre-tonemap, render scale).
+
+        delta_time: wall-clock seconds since last draw for animation stepping;
+        defaults to 1/60 (the display-link cadence)."""
         if self._state_size != (self.render_height, self.render_width):
             self._allocate_state()
 
         self._sync_scene()
+        self._update_animation(delta_time)
 
         camera = self.current_camera()
         previous_camera = self._previous_camera or camera
@@ -299,7 +331,7 @@ class Renderer:
             motion_sampling_high_px=self.motion_sampling_high_threshold_pixels,
         )
 
-        accum, depth, motion, gbuffer = _render_frame(
+        accum, depth, motion, gbuffer, skinned_pos = _render_frame(
             self.settings(),
             self.statics,
             self.scene_data,
@@ -308,11 +340,55 @@ class Renderer:
             self.offsets,
             self.accum,
             self.motion,
+            getattr(self.scene, "skin_bundle", ()),
+            self._joint_matrices,
         )
         self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
+        if self.statics.skin_slices:
+            # this frame's skinned pose becomes next frame's previous pose
+            # (prev-position copy, Renderer.swift:1289-1303)
+            self.scene_data = self.scene_data._replace(
+                positions_obj=skinned_pos, prev_positions_obj=skinned_pos
+            )
         object.__setattr__(self, "frame_index", self.frame_index + 1)
         self._previous_camera = camera
         return accum
+
+    def _update_animation(self, delta_time: float | None):
+        """60 Hz-throttled animation stepping with catch-up
+        (updateSceneTimeAndAnimation, SkinningPass.swift:288-312). Computes
+        host-side joint matrices (Model.update analog, Model.swift:207-261)."""
+        if not self.statics.skin_slices:
+            return
+        from ..skinning import animation as anim
+        from ..skinning import lbs
+
+        dt = self.skinning_delta_time if delta_time is None else delta_time
+        self._scene_time += dt
+        if self._last_skinning_update is None:
+            self._last_skinning_update = self._scene_time - self.skinning_delta_time
+        elapsed = self._scene_time - self._last_skinning_update
+        if elapsed < self.skinning_delta_time and self._joint_matrices:
+            return  # skip this frame (throttle)
+        steps = int(elapsed / self.skinning_delta_time)
+        step_dt = self.skinning_delta_time * steps
+        if steps > 0:
+            self._last_skinning_update += step_dt
+
+        mats = []
+        for inst, _start, _count in self.statics.skin_slices:
+            model = self.scene.models[inst]
+            sk = model.skin
+            if sk.animation is not None:
+                dur = sk.animation.duration
+                sk.current_time = anim.advance_time(sk.current_time, step_dt, dur)
+            if sk.skeleton is not None:
+                m = anim.compute_joint_matrices(sk.skeleton, sk.animation, sk.current_time)
+            else:
+                m = np.tile(np.eye(4, dtype=np.float32), (sk.rest_joints.shape[0], 1, 1))
+            m = lbs.compose_final_matrices(m, sk.geometry_bind)
+            mats.append(jnp.asarray(m))
+        self._joint_matrices = tuple(mats)
 
     # -- present ------------------------------------------------------------------
     def output_image(self) -> np.ndarray:

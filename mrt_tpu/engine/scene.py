@@ -145,6 +145,15 @@ def _resolve_mesh(name: str) -> MeshData:
     raise FileNotFoundError(f"No asset or procedural stand-in for model '{name}'")
 
 
+class SkinModelData(NamedTuple):
+    """Per-skinned-model device data (the SkinningPass buffer set analog,
+    SkinningPass.swift:54-121): dense MXU-ready weights + rest pose."""
+
+    weights_dense: jnp.ndarray  # (Vm, J) f32
+    rest_positions: jnp.ndarray  # (Vm, 3)
+    rest_normals: jnp.ndarray  # (Vm, 3)
+
+
 class SceneData(NamedTuple):
     """Device-resident flattened scene (one pytree through jit/shard_map)."""
 
@@ -177,6 +186,9 @@ class SceneStatics:
     # compiles away entirely
     any_map: tuple  # len N_MAP_TYPES of bool
     has_refraction: bool  # any material with ior>1.01 or opacity<0.999
+    # per skinned model: (model_index, vertex_start, vertex_count); empty tuple
+    # when the scene has no skinning (the LBS stage compiles away)
+    skin_slices: tuple = ()
 
 
 class Scene:
@@ -261,9 +273,25 @@ class Scene:
         indices, tri_res, tri_inst = [], [], []
         atlas_builder = tex.AtlasBuilder()
         mats: list[MaterialDef] = []
+        skin_slices: list = []
+        skin_bundle: list = []
         v_base = 0
         for inst, model in enumerate(self.models):
             mesh = model.mesh
+            if model.skin is not None:
+                from ..skinning import lbs
+
+                n_joints = model.skin.rest_joints.shape[0]
+                skin_slices.append((inst, v_base, mesh.positions.shape[0]))
+                skin_bundle.append(
+                    SkinModelData(
+                        weights_dense=jnp.asarray(
+                            lbs.dense_weights(model.skin.joint_indices, model.skin.joint_weights, n_joints)
+                        ),
+                        rest_positions=jnp.asarray(mesh.positions),
+                        rest_normals=jnp.asarray(mesh.normals),
+                    )
+                )
             positions.append(mesh.positions)
             normals.append(mesh.normals)
             uvs.append(mesh.uvs)
@@ -341,7 +369,9 @@ class Scene:
             n_lights=int(self.lights.count),
             any_map=tuple(bool(b) for b in has_np.any(axis=0)),
             has_refraction=bool(((mats_ior > 1.01) | (mats_op < 0.999)).any()),
+            skin_slices=tuple(skin_slices),
         )
+        self.skin_bundle = tuple(skin_bundle)
         return data, statics
 
 

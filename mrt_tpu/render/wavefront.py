@@ -35,8 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from ..assets import texture as tex
-from ..bvh import traverse
-from ..bvh.lbvh import BVH
+from ..bvh import wide
+from ..bvh.wide import WideBVH
 from ..core import halton as H
 from ..core import types as T
 from ..engine.scene import SceneData, SceneStatics
@@ -88,7 +88,7 @@ def trace_tile(
     settings: T.RenderSettings,
     statics: SceneStatics,
     scene: SceneData,
-    bvh: BVH,
+    bvh: WideBVH,
     geom: Geometry,
     uniforms: T.FrameUniforms,
     pixel_x: jnp.ndarray,  # (P,) int32
@@ -164,7 +164,7 @@ def trace_tile(
         def body(st):
             active = st["active"]
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
-            hits = traverse.closest_hit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, rays, mask=active)
+            hits = wide.closest_hit(bvh, rays, mask=active)
             hit = hits.hit & active
             # miss -> bounced out of the scene (Raytracing.metal:320-322)
             st["active"] = active & hit
@@ -389,9 +389,7 @@ def trace_tile(
                     direction=l_dir,
                     max_distance=l_dist - 1e-3,
                 )
-                occluded = traverse.any_hit(
-                    bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, shadow_rays, mask=need_shadow
-                )
+                occluded = wide.any_hit(bvh, shadow_rays, mask=need_shadow)
                 contrib = legacy_color * l_col * n_dot_l[:, None]
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], contrib, 0.0
@@ -435,9 +433,7 @@ def trace_tile(
                     direction=l_dir,
                     max_distance=l_dist - 1e-3,
                 )
-                occluded = traverse.any_hit(
-                    bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, shadow_rays, mask=need_shadow
-                )
+                occluded = wide.any_hit(bvh, shadow_rays, mask=need_shadow)
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
                 )
@@ -530,7 +526,7 @@ def trace_block(
     settings: T.RenderSettings,
     statics: SceneStatics,
     scene: SceneData,
-    bvh: BVH,
+    bvh: WideBVH,
     geom: Geometry,
     uniforms: T.FrameUniforms,
     offsets: jnp.ndarray,  # (h_blk, W) int32
