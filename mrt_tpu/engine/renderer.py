@@ -95,6 +95,7 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
     out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
 
     accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
+    rays_traced = jnp.sum(out.rays_traced.astype(jnp.int64))
 
     gbuffer = None
     if settings.enable_gbuffer:
@@ -104,7 +105,7 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             normal=out.normal,
             roughness=out.roughness,
         )
-    return accum, out.depth, out.motion, gbuffer, scene.positions_obj
+    return accum, out.depth, out.motion, gbuffer, scene.positions_obj, rays_traced
 
 
 class Renderer:
@@ -331,7 +332,7 @@ class Renderer:
             motion_sampling_high_px=self.motion_sampling_high_threshold_pixels,
         )
 
-        accum, depth, motion, gbuffer, skinned_pos = _render_frame(
+        accum, depth, motion, gbuffer, skinned_pos, rays_traced = _render_frame(
             self.settings(),
             self.statics,
             self.scene_data,
@@ -344,6 +345,7 @@ class Renderer:
             self._joint_matrices,
         )
         self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
+        self.last_rays_traced = rays_traced  # device scalar; int() to read
         if self.statics.skin_slices:
             # this frame's skinned pose becomes next frame's previous pose
             # (prev-position copy, Renderer.swift:1289-1303)

@@ -72,6 +72,8 @@ class TileOutputs(NamedTuple):
     specular_albedo: jnp.ndarray  # (P,3)
     normal: jnp.ndarray  # (P,3) encoded *0.5+0.5
     roughness: jnp.ndarray  # (P,)
+    rays_traced: jnp.ndarray  # (P,) int32 actual traversals launched (closest
+    # + any-hit) — the honest numerator for Mrays/s
 
 
 def _project(camera: T.Camera, world_pos: jnp.ndarray):
@@ -151,6 +153,7 @@ def trace_tile(
             gb_norm=zero3,
             gb_rough=jnp.zeros((P,), f32),
             wrote_gb=jnp.zeros((P,), bool),
+            rays=jnp.zeros((P,), jnp.int32),
             iter=jnp.zeros((), jnp.int32),
         )
 
@@ -163,6 +166,7 @@ def trace_tile(
 
         def body(st):
             active = st["active"]
+            st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
             hits = wide.closest_hit(bvh, rays, mask=active)
             hit = hits.hit & active
@@ -389,6 +393,7 @@ def trace_tile(
                     direction=l_dir,
                     max_distance=l_dist - 1e-3,
                 )
+                st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
                 occluded = wide.any_hit(bvh, shadow_rays, mask=need_shadow)
                 contrib = legacy_color * l_col * n_dot_l[:, None]
                 st["accumulated"] = st["accumulated"] + jnp.where(
@@ -433,6 +438,7 @@ def trace_tile(
                     direction=l_dir,
                     max_distance=l_dist - 1e-3,
                 )
+                st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
                 occluded = wide.any_hit(bvh, shadow_rays, mask=need_shadow)
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
@@ -467,17 +473,19 @@ def trace_tile(
             st["depth"],
             st["motion"],
             (st["gb_diff"], st["gb_spec"], st["gb_norm"], st["gb_rough"]),
+            st["rays"],
         )
 
     # --- sample loop with motion-adaptive extra samples ----------------------
     # (Raytracing.metal:263-293,779-789)
-    def sample_body(sample_index, carry):
-        total_color, total_samples, had0, depth0, motion0, g0 = carry
-        radiance, had, depth, motion, g = trace_one_sample(
+    def sample_body(carry):
+        sample_index, total_color, total_samples, had0, depth0, motion0, g0, rays_total = carry
+        radiance, had, depth, motion, g, rays_n = trace_one_sample(
             sample_index, total_color, had0, depth0, motion0, g0
         )
         counted = sample_index < total_samples
         total_color = total_color + jnp.where(counted[:, None], radiance, 0.0)
+        rays_total = rays_total + jnp.where(counted, rays_n, 0)
 
         is0 = sample_index == 0
         had0 = jnp.where(is0, had, had0)
@@ -493,19 +501,29 @@ def trace_tile(
             t = jnp.clip((motion_mag - low) / (high - low), 0.0, 1.0)
             extra = jnp.clip(jnp.round(t * max_extra).astype(jnp.int32), 0, max_extra)
             total_samples = jnp.where(is0, base_samples + extra, total_samples)
-        return total_color, total_samples, had0, depth0, motion0, g0
+        return sample_index + 1, total_color, total_samples, had0, depth0, motion0, g0, rays_total
 
     P3 = jnp.zeros((P, 3), jnp.float32)
     carry0 = (
+        jnp.zeros((), jnp.int32),
         P3,
         jnp.full((P,), base_samples, jnp.int32),
         jnp.zeros((P,), bool),
         jnp.full((P,), 1.0e8, jnp.float32),
         jnp.zeros((P, 2), jnp.float32),
         (P3, P3, P3, jnp.zeros((P,), jnp.float32)),
+        jnp.zeros((P,), jnp.int32),
     )
-    total_color, total_samples, had0, depth0, motion0, g0 = jax.lax.fori_loop(
-        0, sample_stride, sample_body, carry0
+
+    def sample_cond(carry):
+        # run until every pixel's totalSamples is reached (the reference's
+        # per-thread loop bound, Raytracing.metal:269); tiles where no pixel
+        # earned extra samples stop at base_samples.
+        sample_index, _, total_samples = carry[0], carry[1], carry[2]
+        return (sample_index < sample_stride) & (sample_index < jnp.max(total_samples))
+
+    (_, total_color, total_samples, had0, depth0, motion0, g0, rays_total) = jax.lax.while_loop(
+        sample_cond, sample_body, carry0
     )
 
     # average all samples (Raytracing.metal:793)
@@ -519,6 +537,7 @@ def trace_tile(
         specular_albedo=g0[1],
         normal=g0[2],
         roughness=g0[3],
+        rays_traced=rays_total,
     )
 
 
