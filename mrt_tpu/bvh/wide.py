@@ -397,7 +397,79 @@ def _aabb8(row, ox, oy, oz, ix, iy, iz, t_cap):
     return hit, jnp.maximum(tnear, 0.0)
 
 
-def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
+def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
+    """Coherence sort key: dead lanes last, then direction octant, then a
+    Morton cell of the origin (normalized by the root bounds from table row 0).
+    Sorting + chunking makes each chunk's while_loop tail match its own
+    (coherent) workload instead of the global worst lane."""
+    d = rays.direction
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    if wbvh.n_internal > 0:
+        root = wbvh.table[0]
+        bmin = jnp.stack([jnp.min(root[0:8]), jnp.min(root[8:16]), jnp.min(root[16:24])])
+        bmax = jnp.stack([jnp.max(root[24:32]), jnp.max(root[32:40]), jnp.max(root[40:48])])
+    else:
+        bmin = jnp.zeros(3)
+        bmax = jnp.ones(3)
+    extent = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip((rays.origin - bmin) / extent, 0.0, 1.0)
+    cell = (
+        (q[:, 0] * 15).astype(jnp.int32) * 256
+        + (q[:, 1] * 15).astype(jnp.int32) * 16
+        + (q[:, 2] * 15).astype(jnp.int32)
+    )
+    key = octant * 4096 + cell
+    return jnp.where(live, key, jnp.int32(1 << 24))
+
+
+def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
+              chunks: int = 1, sort_rays: bool = False):
+    """Chunked, optionally sorted traversal wrapper around the core loop."""
+    n_rays = rays.origin.shape[0]
+    live0 = jnp.ones((n_rays,), bool) if mask is None else mask
+
+    perm = None
+    if sort_rays:
+        perm = jnp.argsort(_sort_keys(wbvh, rays, live0))
+        rays = Rays(
+            origin=jnp.take(rays.origin, perm, axis=0),
+            direction=jnp.take(rays.direction, perm, axis=0),
+            max_distance=jnp.take(rays.max_distance, perm, axis=0),
+        )
+        mask = jnp.take(live0, perm, axis=0)
+
+    if chunks > 1 and n_rays % chunks == 0:
+        rc = n_rays // chunks
+
+        def chunk_fn(args):
+            r_o, r_d, r_m, m = args
+            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, any_hit_mode, m)
+
+        m = mask if mask is not None else jnp.ones((n_rays,), bool)
+        st = jax.lax.map(
+            chunk_fn,
+            (
+                rays.origin.reshape(chunks, rc, 3),
+                rays.direction.reshape(chunks, rc, 3),
+                rays.max_distance.reshape(chunks, rc),
+                m.reshape(chunks, rc),
+            ),
+        )
+        st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
+    else:
+        st = _traverse_flat(wbvh, rays, t_min, any_hit_mode, mask)
+
+    if perm is not None:
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
+        st = {k: jnp.take(v, inv, axis=0) for k, v in st.items()}
+    return st
+
+
+def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -483,11 +555,14 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
         return st
 
     st = jax.lax.while_loop(cond, body, state)
-    return st
+    return {k: st[k] for k in ("best_t", "best_tri", "best_u", "best_v", "found")}
 
 
-def closest_hit(wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None) -> Hits:
-    st = _traverse(wbvh, rays, t_min, any_hit_mode=False, mask=mask)
+def closest_hit(
+    wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
+    chunks: int = 1, sort_rays: bool = False,
+) -> Hits:
+    st = _traverse(wbvh, rays, t_min, any_hit_mode=False, mask=mask, chunks=chunks, sort_rays=sort_rays)
     found = st["best_tri"] >= 0
     return Hits(
         t=jnp.where(found, st["best_t"], jnp.inf),
@@ -497,6 +572,9 @@ def closest_hit(wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None) -> Hit
     )
 
 
-def any_hit(wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None) -> jnp.ndarray:
-    st = _traverse(wbvh, rays, t_min, any_hit_mode=True, mask=mask)
+def any_hit(
+    wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
+    chunks: int = 1, sort_rays: bool = False,
+) -> jnp.ndarray:
+    st = _traverse(wbvh, rays, t_min, any_hit_mode=True, mask=mask, chunks=chunks, sort_rays=sort_rays)
     return st["found"]

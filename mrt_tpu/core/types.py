@@ -192,6 +192,10 @@ class RenderSettings:
     enable_motion_adaptive_accumulation: bool = True  # Renderer.swift:129
     # Ray-batch tile size for the wavefront pipeline (pixels per tile).
     tile_pixels: int = 65536
+    # Traversal chunking: each tile's rays are sorted for coherence and
+    # traversed in this many independent while_loops (tail isolation).
+    traversal_chunks: int = 8
+    sort_rays: bool = True
 
     @property
     def base_samples(self) -> int:

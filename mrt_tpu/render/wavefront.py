@@ -168,7 +168,10 @@ def trace_tile(
             active = st["active"]
             st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
-            hits = wide.closest_hit(bvh, rays, mask=active)
+            n_chunks = settings.traversal_chunks if P % max(settings.traversal_chunks, 1) == 0 else 1
+            hits = wide.closest_hit(
+                bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays
+            )
             hit = hits.hit & active
             # miss -> bounced out of the scene (Raytracing.metal:320-322)
             st["active"] = active & hit
@@ -394,7 +397,9 @@ def trace_tile(
                     max_distance=l_dist - 1e-3,
                 )
                 st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
-                occluded = wide.any_hit(bvh, shadow_rays, mask=need_shadow)
+                occluded = wide.any_hit(
+                    bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                )
                 contrib = legacy_color * l_col * n_dot_l[:, None]
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], contrib, 0.0
@@ -439,7 +444,9 @@ def trace_tile(
                     max_distance=l_dist - 1e-3,
                 )
                 st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
-                occluded = wide.any_hit(bvh, shadow_rays, mask=need_shadow)
+                occluded = wide.any_hit(
+                    bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                )
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
                 )

@@ -24,9 +24,11 @@ def _present_spatial(color, out_h, out_w, method):
     return (jnp.clip(reinhard_tonemap(up), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _present_temporal(color, depth, motion, history, out_h, out_w):
-    up, new_history = temporal.temporal_upscale(color, depth, motion, history, out_h, out_w)
+@partial(jax.jit, static_argnums=(5, 6))
+def _present_temporal(color, depth, motion, history, history_weight, out_h, out_w):
+    up, new_history = temporal.temporal_upscale(
+        color, depth, motion, history, out_h, out_w, history_weight=history_weight
+    )
     img = (jnp.clip(reinhard_tonemap(up), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     return img, new_history
 
@@ -47,10 +49,12 @@ def present(renderer) -> np.ndarray:
 
             color = denoise.demodulate_filter(color, renderer.gbuffer)
         history = getattr(renderer, "_upscale_history", None)
-        if history is None or history.shape != (out_h, out_w, 3):
+        fresh = history is None or history.shape != (out_h, out_w, 3)
+        if fresh:
             history = jnp.zeros((out_h, out_w, 3), jnp.float32)
+        weight = jnp.asarray(0.0 if fresh else 0.9, jnp.float32)
         img, new_history = _present_temporal(
-            color, renderer.depth, renderer.motion, history, out_h, out_w
+            color, renderer.depth, renderer.motion, history, weight, out_h, out_w
         )
         object.__setattr__(renderer, "_upscale_history", new_history)
     else:

@@ -49,7 +49,7 @@ def temporal_upscale(
     history: jnp.ndarray,  # (H,W,3) output-res accumulated history
     out_h: int,
     out_w: int,
-    history_weight: float = 0.9,
+    history_weight=0.9,  # scalar; pass 0.0 on the first frame / history reset
 ):
     """Returns (output (H,W,3), new_history (H,W,3))."""
     h, w = color.shape[0], color.shape[1]
