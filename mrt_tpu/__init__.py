@@ -18,6 +18,21 @@ Quick start::
     image = r.output_image()  # uint8 RGB
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: first compiles of the big traversal/trace
+# programs are minutes on this stack; cached executables make every later
+# process (tests, bench, driver runs) start warm.
+try:
+    _cache_dir = _os.environ.get("MRT_JAX_CACHE", _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 from .core import types
 from .core.types import (
     Camera,
