@@ -1,0 +1,76 @@
+"""Checkpoint / resume of renderer state — a new-build subsystem (the
+reference has none, SURVEY.md §5.4): persists the progressive-rendering state
+(accumulation history, motion/depth, Halton decorrelation offsets, frame
+index, camera orbit parameters, animation clocks) so a long accumulation or
+an interactive session can resume exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def save(renderer, path: str) -> None:
+    """Write the renderer's resumable state to an .npz file."""
+    state = dict(
+        version=FORMAT_VERSION,
+        accum=np.asarray(renderer.accum),
+        motion=np.asarray(renderer.motion),
+        depth=np.asarray(renderer.depth),
+        offsets=np.asarray(renderer.offsets),
+        frame_index=renderer.frame_index,
+        camera_azimuth=renderer.camera_azimuth,
+        camera_elevation=renderer.camera_elevation,
+        camera_distance=renderer.camera_distance,
+        camera_fov_degrees=renderer.camera_fov_degrees,
+        scene_time=renderer._scene_time,
+        skin_times=np.asarray(
+            [renderer.scene.models[i].skin.current_time for i, _, _ in renderer.statics.skin_slices],
+            np.float64,
+        ),
+        prev_camera=np.stack(
+            [np.asarray(x) for x in renderer._previous_camera]
+        )
+        if renderer._previous_camera is not None
+        else np.zeros((0, 3), np.float32),
+    )
+    np.savez_compressed(path, **state)
+
+
+def restore(renderer, path: str) -> None:
+    """Load state saved by :func:`save` into a renderer built over the same
+    scene/settings (shapes must match)."""
+    import jax.numpy as jnp
+
+    from ..core.types import Camera
+
+    z = np.load(path, allow_pickle=False)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {int(z['version'])} != {FORMAT_VERSION}")
+    expected = (renderer.render_height, renderer.render_width, 3)
+    if z["accum"].shape != expected:
+        raise ValueError(
+            f"checkpoint resolution {z['accum'].shape} != renderer {expected}"
+        )
+    if renderer._state_size != expected[:2]:
+        renderer._allocate_state()  # settings changed since init; size up first
+    renderer.accum = jnp.asarray(z["accum"])
+    renderer.motion = jnp.asarray(z["motion"])
+    renderer.depth = jnp.asarray(z["depth"])
+    object.__setattr__(renderer, "offsets", jnp.asarray(z["offsets"]))
+    renderer.camera_azimuth = float(z["camera_azimuth"])
+    renderer.camera_elevation = float(z["camera_elevation"])
+    renderer.camera_distance = float(z["camera_distance"])
+    renderer.camera_fov_degrees = float(z["camera_fov_degrees"])
+    renderer._scene_time = float(z["scene_time"])
+    for (i, _, _), t in zip(renderer.statics.skin_slices, z["skin_times"]):
+        renderer.scene.models[i].skin.current_time = float(t)
+    if z["prev_camera"].shape[0] == 4:
+        pc = z["prev_camera"]
+        renderer._previous_camera = Camera(
+            jnp.asarray(pc[0]), jnp.asarray(pc[1]), jnp.asarray(pc[2]), jnp.asarray(pc[3])
+        )
+    # restore LAST: property writes above reset frame_index via the didSet idiom
+    object.__setattr__(renderer, "frame_index", int(z["frame_index"]))

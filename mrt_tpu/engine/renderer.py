@@ -88,13 +88,19 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             nrm_obj = jax.lax.dynamic_update_slice(nrm_obj, sn, (start, 0))
         scene = scene._replace(positions_obj=pos_obj, normals_obj=nrm_obj)
 
-    pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
-    geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
-    bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+    # named scopes show up in jax.profiler traces — the analog of the
+    # reference labeling every encoder for Xcode GPU capture (SURVEY.md §5.1)
+    with jax.named_scope("world_transform"):
+        pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
+        geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
+    with jax.named_scope("bvh_refit"):
+        bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
-    out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
+    with jax.named_scope("trace"):
+        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
 
-    accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
+    with jax.named_scope("accumulate"):
+        accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
     rays_traced = jnp.sum(out.rays_traced.astype(jnp.int64))
 
     gbuffer = None
@@ -106,6 +112,51 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             roughness=out.roughness,
         )
     return accum, out.depth, out.motion, gbuffer, scene.positions_obj, rays_traced
+
+
+class FrameStats:
+    """Per-stage timing / throughput report (SURVEY.md §5.1: the framework's
+    replacement for Xcode GPU capture — rays/s, frame times, EMA fps).
+
+    Timing is wall-clock between draw() calls; JAX dispatch is async, so
+    blocking=True in report() syncs the device first.
+    """
+
+    def __init__(self, ema: float = 0.9):
+        import time as _time
+
+        self._time = _time
+        self.ema = ema
+        self.frame_ms = None
+        self.frames = 0
+        self._last = None
+        self._pending_rays = None
+        self.total_rays = 0
+
+    def record(self, rays_traced):
+        now = self._time.perf_counter()
+        if self._pending_rays is not None:
+            self.total_rays += int(self._pending_rays)
+        self._pending_rays = rays_traced
+        if self._last is not None:
+            dt_ms = (now - self._last) * 1e3
+            self.frame_ms = dt_ms if self.frame_ms is None else self.ema * self.frame_ms + (1 - self.ema) * dt_ms
+        self._last = now
+        self.frames += 1
+
+    def report(self) -> dict:
+        if self._pending_rays is not None:
+            self.total_rays += int(self._pending_rays)
+            self._pending_rays = None
+        fps = 1000.0 / self.frame_ms if self.frame_ms else 0.0
+        mrays = (self.total_rays / max(self.frames - 1, 1)) * fps / 1e6 if fps else 0.0
+        return dict(
+            frames=self.frames,
+            frame_ms=round(self.frame_ms, 3) if self.frame_ms else None,
+            fps=round(fps, 2),
+            total_rays=self.total_rays,
+            mrays_per_s=round(mrays, 3),
+        )
 
 
 class Renderer:
@@ -162,6 +213,7 @@ class Renderer:
         self._scene_time = 0.0
         self._last_skinning_update = None
         self._joint_matrices: tuple = ()
+        self.stats = FrameStats()
 
         # --- compile scene -----------------------------------------------------
         self.scene_data, self.statics = scene.compile()
@@ -346,6 +398,7 @@ class Renderer:
         )
         self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
         self.last_rays_traced = rays_traced  # device scalar; int() to read
+        self.stats.record(rays_traced)
         if self.statics.skin_slices:
             # this frame's skinned pose becomes next frame's previous pose
             # (prev-position copy, Renderer.swift:1289-1303)

@@ -171,6 +171,11 @@ class SceneData(NamedTuple):
     materials: T.Materials
     lights: T.Lights
     atlas: tex.TextureAtlas
+    # Equirectangular HDR environment map (Ke,We,3 linear) sampled on ray miss
+    # — a NEW-BUILD feature: the reference terminates miss rays
+    # (Raytracing.metal:320-322); BASELINE config 2 requires it.
+    env_map: jnp.ndarray
+    env_intensity: jnp.ndarray  # () f32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -186,6 +191,7 @@ class SceneStatics:
     # compiles away entirely
     any_map: tuple  # len N_MAP_TYPES of bool
     has_refraction: bool  # any material with ior>1.01 or opacity<0.999
+    has_environment: bool = False
     # per skinned model: (model_index, vertex_start, vertex_count); empty tuple
     # when the scene has no skinning (the LBS stage compiles away)
     skin_slices: tuple = ()
@@ -223,6 +229,9 @@ class Scene:
             color=[4, 4, 4],
         )
         self.lights = T.concat_lights(light1, light3)
+        # optional equirect HDR environment (set_environment)
+        self.env_map = np.zeros((1, 1, 3), np.float32)
+        self.env_intensity = 1.0
 
     # --- runtime API (Scene.swift:26-63) --------------------------------------
     def move_model(self, index: int, forward: float = 0.0, right: float = 0.0):
@@ -251,6 +260,14 @@ class Scene:
         """Scene.swift:57-63 (rebuilds the device light array lazily)."""
         c = jnp.full_like(self.lights.color, intensity)
         self.lights = self.lights._replace(color=c)
+        self.is_dirty = True
+
+    def set_environment(self, env_map: np.ndarray, intensity: float = 1.0):
+        """Attach an equirectangular HDR environment (lat-long, +Y up).
+        Miss rays pick up its radiance (IBL). New-build feature (BASELINE
+        config 2); re-compile scene afterwards."""
+        self.env_map = np.asarray(env_map, np.float32)
+        self.env_intensity = float(intensity)
         self.is_dirty = True
 
     def camera(self) -> T.Camera:
@@ -357,6 +374,8 @@ class Scene:
             materials=materials,
             lights=self.lights,
             atlas=atlas,
+            env_map=jnp.asarray(self.env_map),
+            env_intensity=jnp.asarray(self.env_intensity, jnp.float32),
         )
 
         mats_ior = np.asarray([m.refraction_index for m in mats], np.float32)
@@ -369,6 +388,7 @@ class Scene:
             n_lights=int(self.lights.count),
             any_map=tuple(bool(b) for b in has_np.any(axis=0)),
             has_refraction=bool(((mats_ior > 1.01) | (mats_op < 0.999)).any()),
+            has_environment=bool(self.env_map.size > 3 or self.env_map.max() > 0),
             skin_slices=tuple(skin_slices),
         )
         self.skin_bundle = tuple(skin_bundle)

@@ -76,6 +76,33 @@ class TileOutputs(NamedTuple):
     # + any-hit) — the honest numerator for Mrays/s
 
 
+def sample_environment(env_map: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear equirect (lat-long) environment lookup. direction (R,3) unit;
+    returns (R,3) linear radiance."""
+    d = direction
+    u = 0.5 + jnp.arctan2(d[:, 2], d[:, 0]) / (2.0 * jnp.pi)
+    v = jnp.clip(0.5 - jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi, 0.0, 1.0)
+    he, we = env_map.shape[0], env_map.shape[1]
+    x = u * we - 0.5
+    y = v * he - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    xi0 = jnp.mod(x0.astype(jnp.int32), we)
+    xi1 = jnp.mod(x0.astype(jnp.int32) + 1, we)
+    yi0 = jnp.clip(y0.astype(jnp.int32), 0, he - 1)
+    yi1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, he - 1)
+    flat = env_map.reshape(-1, 3)
+    c00 = jnp.take(flat, yi0 * we + xi0, axis=0)
+    c10 = jnp.take(flat, yi0 * we + xi1, axis=0)
+    c01 = jnp.take(flat, yi1 * we + xi0, axis=0)
+    c11 = jnp.take(flat, yi1 * we + xi1, axis=0)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
 def _project(camera: T.Camera, world_pos: jnp.ndarray):
     """Screen projection used for motion vectors (Raytracing.metal:360-376)."""
     view = world_pos - camera.position
@@ -173,7 +200,15 @@ def trace_tile(
                 bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays
             )
             hit = hits.hit & active
-            # miss -> bounced out of the scene (Raytracing.metal:320-322)
+            # miss -> bounced out of the scene (Raytracing.metal:320-322).
+            # With an environment attached, miss rays pick up its radiance
+            # instead of terminating black (new-build feature, BASELINE cfg 2).
+            if statics.has_environment:
+                missed = active & ~hit
+                env = sample_environment(scene.env_map, st["ray_d"]) * scene.env_intensity
+                st["accumulated"] = st["accumulated"] + jnp.where(
+                    missed[:, None], st["color"] * env, 0.0
+                )
             st["active"] = active & hit
 
             tri = jnp.maximum(hits.triangle, 0)

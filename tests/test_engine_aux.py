@@ -1,0 +1,115 @@
+"""Auxiliary engine subsystems: environment light, checkpoint/resume, stats,
+view presets (SURVEY.md §5 coverage)."""
+
+import numpy as np
+import pytest
+
+from mrt_tpu.assets import hdr
+from mrt_tpu.engine import checkpoint
+from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+from mrt_tpu.engine.scene import Model, Scene
+
+
+def _renderer(size=48, env=None):
+    scene = Scene(width=size, height=size)
+    scene.models = [
+        Model("sphere", position=[0.0, 0.5, 0.0], scale=0.5),
+        Model("plane", position=[0, 0, 0], scale=10),
+    ]
+    if env is not None:
+        scene.set_environment(env, intensity=1.0)
+    r = Renderer(scene, output_width=size, output_height=size)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = 1
+    r.max_bounces = 2
+    r.use_motion_adaptive_sampling = False
+    return r
+
+
+def test_environment_light_brightens_miss_pixels():
+    sky = hdr.procedural_sky(16, 32, sun_sharpness=50.0)
+    r_dark = _renderer()
+    r_sky = _renderer(env=sky)
+    assert not r_dark.statics.has_environment
+    assert r_sky.statics.has_environment
+    a = np.asarray(r_dark.draw())
+    b = np.asarray(r_sky.draw())
+    # miss pixels (upper rows in texture order are sky here) must be lit now
+    assert b.mean() > a.mean() + 0.01
+    assert np.isfinite(b).all()
+
+
+def test_procedural_sky_properties():
+    sky = hdr.procedural_sky(32, 64)
+    assert sky.shape == (32, 64, 3)
+    assert np.isfinite(sky).all() and (sky >= 0).all()
+    # zenith bluer than ground
+    assert sky[0, :, 2].mean() > sky[-1, :, 2].mean()
+
+
+def test_hdr_decoder_flat_scanlines(tmp_path):
+    # Write a tiny flat (non-RLE) RGBE file and read it back.
+    h, w = 2, 4
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., 0] = 128  # r mantissa
+    rgbe[..., 3] = 129  # exponent -> scale 2^(129-136) = 1/128 -> r ~ 1.0
+    p = tmp_path / "t.hdr"
+    p.write_bytes(header + rgbe.tobytes())
+    img = hdr.load_hdr(str(p))
+    assert img is not None and img.shape == (h, w, 3)
+    np.testing.assert_allclose(img[..., 0], (128 + 0.5) / 128, rtol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    r = _renderer()
+    for _ in range(3):
+        r.draw()
+    r.orbit(120.0, 30.0)
+    r.draw()
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(r, path)
+    want_accum = np.asarray(r.accum)
+    want_frame = r.frame_index
+
+    r2 = _renderer()
+    checkpoint.restore(r2, path)
+    np.testing.assert_array_equal(np.asarray(r2.accum), want_accum)
+    assert r2.frame_index == want_frame
+    assert r2.camera_azimuth == r.camera_azimuth
+    # resumed render continues identically to the original
+    a = np.asarray(r.draw())
+    b = np.asarray(r2.draw())
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    r = _renderer(48)
+    r.draw()
+    path = str(tmp_path / "s.npz")
+    checkpoint.save(r, path)
+    r2 = _renderer(32)
+    with pytest.raises(ValueError):
+        checkpoint.restore(r2, path)
+
+
+def test_frame_stats():
+    r = _renderer()
+    for _ in range(3):
+        r.draw()
+    rep = r.stats.report()
+    assert rep["frames"] == 3
+    assert rep["total_rays"] > 0
+    assert rep["frame_ms"] is None or rep["frame_ms"] > 0
+
+
+def test_view_presets():
+    r = _renderer()
+    r.draw()
+    r.apply_view_preset("isometric")
+    assert r.frame_index == 0
+    assert r.camera_azimuth == pytest.approx(np.pi / 4)
+    r.apply_view_preset("top")
+    assert r.camera_elevation == pytest.approx(r.camera_elevation_limit)
+    img = np.asarray(r.draw())
+    assert np.isfinite(img).all()
