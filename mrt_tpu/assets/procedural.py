@@ -135,9 +135,12 @@ def blob(subdivisions: int = 5, radius: float = 0.5, seed: int = 7, material=Non
     for _ in range(6):
         k = rng.normal(size=3) * 3.0
         phase = rng.uniform(0, 2 * np.pi)
-        disp += rng.uniform(0.05, 0.18) * np.sin(verts @ k + phase)
+        disp += rng.uniform(0.04, 0.12) * np.sin(verts @ k + phase)
+    # slight vertical squash + horizontal stretch for a creature-ish silhouette
     r = radius * (1.0 + disp)
     verts = verts * r[:, None]
+    verts[:, 1] *= 0.75
+    verts[:, 0] *= 1.35
 
     u = 0.5 + np.arctan2(verts[:, 2], verts[:, 0]) / (2 * np.pi)
     v = 0.5 + np.arcsin(np.clip(verts[:, 1] / np.maximum(np.linalg.norm(verts, axis=1), 1e-9), -1, 1)) / np.pi

@@ -131,9 +131,11 @@ def _resolve_mesh(name: str) -> MeshData:
     from ..assets import procedural
 
     if name == "dragon":
-        return procedural.blob(subdivisions=6, radius=0.45, seed=7, material=MaterialDef(name="Dragon", base_color=(1.0, 0.0, 0.0), specular=(0.2, 0.2, 0.2)))
+        # dragon.obj is a missing large blob; a displaced icosphere of similar
+        # world extent (~0.3 units before the scene's 1.2x scale) stands in
+        return procedural.blob(subdivisions=6, radius=0.28, seed=7, material=MaterialDef(name="Dragon", base_color=(1.0, 0.0, 0.0), specular=(0.2, 0.2, 0.2)))
     if name == "bunny":
-        return procedural.blob(subdivisions=5, radius=0.4, seed=13, material=MaterialDef(name="Bunny", base_color=(0.9, 0.85, 0.8)))
+        return procedural.blob(subdivisions=5, radius=0.3, seed=13, material=MaterialDef(name="Bunny", base_color=(0.9, 0.85, 0.8)))
     if name == "robot":
         mesh, ji, jw, rest = procedural.skinned_cylinder()
         mesh._skin_stub = (ji, jw, rest)  # picked up by AppScene
