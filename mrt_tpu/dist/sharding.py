@@ -60,12 +60,29 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
     local_h = h // dp
     sample_stride = settings.sample_stride
 
-    def shard_fn(scene, bvh, uniforms, offsets_blk, prev_accum_blk, prev_motion_blk):
+    def shard_fn(scene, bvh, uniforms, offsets_blk, prev_accum_blk, prev_motion_blk,
+                 skin_bundle, joint_matrices):
         dp_rank = jax.lax.axis_index("dp")
         sp_rank = jax.lax.axis_index("sp")
         y0 = dp_rank * local_h
 
-        # Replicated per chip: world transforms + BVH refit.
+        # Replicated per chip: skinning (MXU matmul) + transforms + BVH refit.
+        if statics.skin_slices:
+            from ..skinning import lbs
+
+            pos_obj = scene.positions_obj
+            nrm_obj = scene.normals_obj
+            for k, (_, start, _count) in enumerate(statics.skin_slices):
+                sp_pos, sp_nrm = lbs.skin(
+                    skin_bundle[k].weights_dense,
+                    joint_matrices[k],
+                    skin_bundle[k].rest_positions,
+                    skin_bundle[k].rest_normals,
+                )
+                pos_obj = jax.lax.dynamic_update_slice(pos_obj, sp_pos, (start, 0))
+                nrm_obj = jax.lax.dynamic_update_slice(nrm_obj, sp_nrm, (start, 0))
+            scene = scene._replace(positions_obj=pos_obj, normals_obj=nrm_obj)
+
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
         bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
@@ -84,13 +101,13 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
         motion = jax.lax.pmean(out.motion, "sp")
 
         accum = acc.accumulate(settings, uniforms, color, motion, prev_motion_blk, prev_accum_blk)
-        return accum, depth, motion
+        return accum, depth, motion, scene.positions_obj
 
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp", None), P("dp", None, None), P("dp", None, None)),
-        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None)),
+        in_specs=(P(), P(), P(), P("dp", None), P("dp", None, None), P("dp", None, None), P(), P()),
+        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None), P()),
         check_vma=False,
     )
     return jax.jit(shard)
@@ -128,6 +145,15 @@ class DistributedRenderer:
         self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
         self.frame_index = 0
         self._previous_camera: T.Camera | None = None
+        self.skin_bundle = getattr(scene, "skin_bundle", ())
+        self._joint_matrices = tuple(
+            __import__("jax").numpy.tile(__import__("numpy").eye(4, dtype="float32"),
+                                          (scene.models[i].skin.rest_joints.shape[0], 1, 1))
+            for i, _, _ in self.statics.skin_slices
+        )
+
+    def set_joint_matrices(self, mats: tuple):
+        self._joint_matrices = mats
 
     def draw(self):
         camera = T.orbit_camera(
@@ -144,9 +170,14 @@ class DistributedRenderer:
             previous_camera=self._previous_camera or camera,
             frame_index=self.frame_index,
         )
-        self.accum, self.depth, self.motion = self.step(
-            self.scene_data, self.bvh, uniforms, self.offsets, self.accum, self.motion
+        self.accum, self.depth, self.motion, skinned_pos = self.step(
+            self.scene_data, self.bvh, uniforms, self.offsets, self.accum, self.motion,
+            self.skin_bundle, self._joint_matrices,
         )
+        if self.statics.skin_slices:
+            self.scene_data = self.scene_data._replace(
+                positions_obj=skinned_pos, prev_positions_obj=skinned_pos
+            )
         self.frame_index += 1
         self._previous_camera = camera
         return self.accum
