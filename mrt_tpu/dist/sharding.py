@@ -146,9 +146,9 @@ class DistributedRenderer:
         self.frame_index = 0
         self._previous_camera: T.Camera | None = None
         self.skin_bundle = getattr(scene, "skin_bundle", ())
+        # identity pose until set_joint_matrices / animation drives it
         self._joint_matrices = tuple(
-            __import__("jax").numpy.tile(__import__("numpy").eye(4, dtype="float32"),
-                                          (scene.models[i].skin.rest_joints.shape[0], 1, 1))
+            jnp.tile(jnp.eye(4, dtype=jnp.float32), (scene.models[i].skin.rest_joints.shape[0], 1, 1))
             for i, _, _ in self.statics.skin_slices
         )
 

@@ -159,3 +159,41 @@ def test_moller_trumbore_known_triangle():
     )
     assert bool(hit_b)
     np.testing.assert_allclose(float(t_b), 1.0, atol=1e-6)
+
+
+def test_chunked_sorted_traversal_matches_flat():
+    """Sorted+chunked traversal is an execution strategy, not a semantic
+    change: results must match the flat path exactly."""
+    from mrt_tpu.bvh import wide
+
+    rng = np.random.default_rng(21)
+    v0, v1, v2 = random_tris(400, rng)
+    w = wide.build(v0, v1, v2, method="lbvh")
+    rays = random_rays(256, rng)
+    mask = jnp.asarray(rng.random(256) > 0.3)
+
+    flat = wide.closest_hit(w, rays, mask=mask)
+    chunked = wide.closest_hit(w, rays, mask=mask, chunks=8, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(flat.triangle), np.asarray(chunked.triangle))
+    np.testing.assert_allclose(np.asarray(flat.t)[np.asarray(mask)],
+                               np.asarray(chunked.t)[np.asarray(mask)], rtol=1e-6)
+
+    f_any = wide.any_hit(w, rays, mask=mask)
+    c_any = wide.any_hit(w, rays, mask=mask, chunks=8, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(f_any), np.asarray(c_any))
+
+
+def test_native_sah_matches_lbvh_results():
+    from mrt_tpu.bvh import wide
+    from mrt_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31)
+    v0, v1, v2 = random_tris(600, rng)
+    rays = random_rays(128, rng)
+    a = wide.closest_hit(wide.build(v0, v1, v2, method="sah"), rays)
+    b = wide.closest_hit(wide.build(v0, v1, v2, method="lbvh"), rays)
+    assert (np.asarray(a.triangle >= 0) == np.asarray(b.triangle >= 0)).all()
+    m = np.asarray(a.triangle >= 0)
+    np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m], rtol=1e-5)
