@@ -28,6 +28,13 @@ def build_renderer(width, height):
     r.samples_per_pixel = 2
     r.max_bounces = 4
     r.use_motion_adaptive_sampling = False  # static scene: no extra samples
+    # execution-strategy sweep knobs
+    if os.environ.get("MRT_TILE"):
+        r.tile_pixels = int(os.environ["MRT_TILE"])
+    if os.environ.get("MRT_CHUNKS"):
+        r.traversal_chunks = int(os.environ["MRT_CHUNKS"])
+    if os.environ.get("MRT_SORT"):
+        r.sort_rays = os.environ["MRT_SORT"] == "1"
     return r
 
 

@@ -34,9 +34,18 @@ import numpy as np
 from ..core.types import Hits, Rays
 from . import lbvh
 
-ARITY = 8
-LEAF_K = 4
-ROW = 64
+ARITY = 12
+LEAF_K = 8
+# Row layout (gather cost is per ROW on TPU, nearly independent of width, so
+# wider rows buy more tree per gather):
+#   internal: [bminx*A|bminy*A|bminz*A|bmaxx*A|bmaxy*A|bmaxz*A|meta*A] = 7A
+#   leaf:     [v0x*K|v0y*K|v0z*K|v1x*K|...|v2z*K|tri_id*K] = 10K
+_INT_USED = 7 * ARITY
+_LEAF_USED = 10 * LEAF_K
+ROW = 128
+assert max(_INT_USED, _LEAF_USED) <= ROW
+META_OFF = 6 * ARITY
+IDS_OFF = 9 * LEAF_K
 STACK = 40
 
 _EMPTY = -1  # empty child slot
@@ -222,11 +231,11 @@ def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray) -> W
     w1 = jnp.where(pad[..., None], nan, w1)
     w2 = jnp.where(pad[..., None], nan, w2)
 
-    # leaf rows: [v0x*4 v0y*4 v0z*4 v1x*4 ... v2z*4 | ids*4 | pad]
+    # leaf rows: [v0x*K v0y*K v0z*K v1x*K ... v2z*K | ids*K | pad]
     comps = [w0[:, :, 0], w0[:, :, 1], w0[:, :, 2],
              w1[:, :, 0], w1[:, :, 1], w1[:, :, 2],
              w2[:, :, 0], w2[:, :, 1], w2[:, :, 2]]
-    leaf_rows = jnp.concatenate(comps + [_encode_ids(leaf_tri)], axis=1)  # (Nl, 40)
+    leaf_rows = jnp.concatenate(comps + [_encode_ids(leaf_tri)], axis=1)
     leaf_rows = jnp.pad(leaf_rows, ((0, 0), (0, ROW - leaf_rows.shape[1])))
 
     # leaf own bboxes (ignore NaN pads)
@@ -319,21 +328,47 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, method: str = "auto") 
 # Traversal
 # --------------------------------------------------------------------------
 
-_SORT_PAIRS_8 = [  # bitonic sorting network for 8 elements
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6),
-    (0, 4), (1, 5), (2, 6), (3, 7),
-    (2, 4), (3, 5),
-    (1, 2), (3, 4), (5, 6),
-]
+def _bitonic_pairs(n: int):
+    """Compare-exchange pairs of a bitonic sorting network for pow2 n."""
+    pairs = []
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            for i in range(n):
+                l = i ^ j
+                if l > i:
+                    # ascending blocks of size k
+                    if (i & k) == 0:
+                        pairs.append((i, l))
+                    else:
+                        pairs.append((l, i))
+            j //= 2
+        k *= 2
+    return pairs
 
 
-def _sort8(t: jnp.ndarray, m: jnp.ndarray):
-    """Sort (R,8) t ascending, carrying meta m. Static network of selects."""
-    cols_t = [t[:, k] for k in range(8)]
-    cols_m = [m[:, k] for k in range(8)]
-    for a, b in _SORT_PAIRS_8:
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+_SORT_N = _next_pow2(ARITY)
+_SORT_PAIRS = _bitonic_pairs(_SORT_N)
+
+
+def _sort_children(t: jnp.ndarray, m: jnp.ndarray):
+    """Sort (R, ARITY) t ascending (inf-padded to pow2), carrying meta m.
+    Static network of selects."""
+    cols_t = [t[:, k] for k in range(ARITY)] + [
+        jnp.full_like(t[:, 0], jnp.inf) for _ in range(_SORT_N - ARITY)
+    ]
+    cols_m = [m[:, k] for k in range(ARITY)] + [
+        jnp.full_like(m[:, 0], -1) for _ in range(_SORT_N - ARITY)
+    ]
+    for a, b in _SORT_PAIRS:
         swap = cols_t[a] > cols_t[b]
         ta = jnp.where(swap, cols_t[b], cols_t[a])
         tb = jnp.where(swap, cols_t[a], cols_t[b])
@@ -341,7 +376,7 @@ def _sort8(t: jnp.ndarray, m: jnp.ndarray):
         mb = jnp.where(swap, cols_m[a], cols_m[b])
         cols_t[a], cols_t[b] = ta, tb
         cols_m[a], cols_m[b] = ma, mb
-    return cols_t, cols_m
+    return cols_t[:ARITY], cols_m[:ARITY]
 
 
 def _slot_onehot(sp: jnp.ndarray, stack_depth: int) -> jnp.ndarray:
@@ -350,12 +385,13 @@ def _slot_onehot(sp: jnp.ndarray, stack_depth: int) -> jnp.ndarray:
     return slots == jnp.clip(sp, 0, stack_depth - 1)[:, None]
 
 
-def _mt4(row, ox, oy, oz, dx, dy, dz, t_min, t_cap):
-    """4-wide Möller–Trumbore on a gathered leaf row. Component-wise on (R,4)
-    arrays (no reshapes — keeps everything in 2D vector registers)."""
-    v0x, v0y, v0z = row[:, 0:4], row[:, 4:8], row[:, 8:12]
-    v1x, v1y, v1z = row[:, 12:16], row[:, 16:20], row[:, 20:24]
-    v2x, v2y, v2z = row[:, 24:28], row[:, 28:32], row[:, 32:36]
+def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap):
+    """LEAF_K-wide Möller–Trumbore on a gathered leaf row. Component-wise on
+    (R, K) arrays (no reshapes — keeps everything in 2D vector registers)."""
+    K = LEAF_K
+    v0x, v0y, v0z = row[:, 0:K], row[:, K:2*K], row[:, 2*K:3*K]
+    v1x, v1y, v1z = row[:, 3*K:4*K], row[:, 4*K:5*K], row[:, 5*K:6*K]
+    v2x, v2y, v2z = row[:, 6*K:7*K], row[:, 7*K:8*K], row[:, 8*K:9*K]
     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
     e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
     # p = d x e2
@@ -377,10 +413,11 @@ def _mt4(row, ox, oy, oz, dx, dy, dz, t_min, t_cap):
     return hit, t, u, v
 
 
-def _aabb8(row, ox, oy, oz, ix, iy, iz, t_cap):
-    """8 child slab tests on a gathered internal row. Returns (hit8, t8)."""
-    bminx, bminy, bminz = row[:, 0:8], row[:, 8:16], row[:, 16:24]
-    bmaxx, bmaxy, bmaxz = row[:, 24:32], row[:, 32:40], row[:, 40:48]
+def _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap):
+    """ARITY child slab tests on a gathered internal row. Returns (hit, t)."""
+    A = ARITY
+    bminx, bminy, bminz = row[:, 0:A], row[:, A:2*A], row[:, 2*A:3*A]
+    bmaxx, bmaxy, bmaxz = row[:, 3*A:4*A], row[:, 4*A:5*A], row[:, 5*A:6*A]
     t0x = (bminx - ox) * ix
     t1x = (bmaxx - ox) * ix
     t0y = (bminy - oy) * iy
@@ -517,15 +554,15 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
 
         t_cap = st["best_t"]
 
-        # ---- leaf: 4-wide MT ------------------------------------------------
-        l_hit, l_t, l_u, l_v = _mt4(row, ox, oy, oz, dx, dy, dz, t_min, t_cap[:, None])
+        # ---- leaf: LEAF_K-wide MT --------------------------------------------
+        l_hit, l_t, l_u, l_v = _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap[:, None])
         lane_leaf = active & is_leaf
         l_t_m = jnp.where(l_hit, l_t, jnp.inf)
         jbest = jnp.argmin(l_t_m, axis=1)
-        oh4 = jnp.arange(4, dtype=jnp.int32)[None, :] == jbest[:, None]
+        oh4 = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :] == jbest[:, None]
         cand_t = jnp.sum(jnp.where(oh4, l_t_m, 0.0), axis=1)
         cand_any = jnp.any(l_hit, axis=1)
-        ids4 = _decode_ids(row[:, 36:40])
+        ids4 = _decode_ids(row[:, IDS_OFF : IDS_OFF + LEAF_K])
         cand_tri = jnp.sum(jnp.where(oh4, ids4, 0), axis=1)
         cand_u = jnp.sum(jnp.where(oh4, l_u, 0.0), axis=1)
         cand_v = jnp.sum(jnp.where(oh4, l_v, 0.0), axis=1)
@@ -536,11 +573,11 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
         st["best_v"] = jnp.where(take, cand_v, st["best_v"])
         st["found"] = st["found"] | (lane_leaf & cand_any)
 
-        # ---- internal: 8 AABBs, sort, push far-to-near ----------------------
-        a_hit, a_t = _aabb8(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
-        meta = _decode_ids(row[:, 48:56])
+        # ---- internal: ARITY AABBs, sort, push far-to-near -------------------
+        a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
+        meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
         t8 = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-        cols_t, cols_m = _sort8(t8, meta)
+        cols_t, cols_m = _sort_children(t8, meta)
 
         lane_int = active & ~is_leaf
         stack = st["stack"]

@@ -191,10 +191,13 @@ class RenderSettings:
     motion_sampling_max_extra_samples: int = 2  # Renderer.swift:158
     enable_motion_adaptive_accumulation: bool = True  # Renderer.swift:129
     # Ray-batch tile size for the wavefront pipeline (pixels per tile).
-    tile_pixels: int = 65536
+    # XLA:TPU compile time scales with while-body lane width, and smaller
+    # tiles also terminate their sample/bounce loops on their own (local)
+    # worst lane - 16k is the measured sweet spot.
+    tile_pixels: int = 16384
     # Traversal chunking: each tile's rays are sorted for coherence and
     # traversed in this many independent while_loops (tail isolation).
-    traversal_chunks: int = 8
+    traversal_chunks: int = 2
     sort_rays: bool = True
 
     @property

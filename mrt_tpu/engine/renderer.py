@@ -190,6 +190,10 @@ class Renderer:
         self.motion_sampling_high_threshold_pixels = 6.0
         self.shading_mode = T.SHADING_MODE_PBR
         self.debug_texture_mode = T.DEBUG_MODE_NONE
+        # execution-strategy knobs (defaults from core.types.RenderSettings)
+        self.tile_pixels = T.RenderSettings.tile_pixels
+        self.traversal_chunks = T.RenderSettings.traversal_chunks
+        self.sort_rays = T.RenderSettings.sort_rays
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -250,6 +254,9 @@ class Renderer:
             enable_motion_adaptive_sampling=self.use_motion_adaptive_sampling,
             motion_sampling_max_extra_samples=self.motion_sampling_max_extra_samples,
             enable_motion_adaptive_accumulation=self.use_motion_adaptive_accumulation,
+            tile_pixels=self.tile_pixels,
+            traversal_chunks=self.traversal_chunks,
+            sort_rays=self.sort_rays,
         )
 
     # -- state -------------------------------------------------------------------

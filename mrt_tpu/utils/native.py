@@ -71,11 +71,13 @@ def build_wide_bvh_sah(tri_verts: np.ndarray):
     rc = lib.mrt_build_wide_bvh(tv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
     if rc != 0:
         return None
+    from ..bvh.wide import ARITY, LEAF_K
+
     ni = int(lib.mrt_wide_n_internal())
     nl = int(lib.mrt_wide_n_leaves())
     depth = int(lib.mrt_wide_depth())
-    child = np.empty((ni, 8), np.int32)
-    leaf = np.empty((nl, 4), np.int32)
+    child = np.empty((ni, ARITY), np.int32)
+    leaf = np.empty((nl, LEAF_K), np.int32)
     lib.mrt_wide_fetch(
         child.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -22,8 +22,8 @@
 
 namespace {
 
-constexpr int ARITY = 8;
-constexpr int LEAF_K = 4;
+constexpr int ARITY = 12;
+constexpr int LEAF_K = 8;
 constexpr int NBINS = 16;
 
 struct AABB {
