@@ -191,13 +191,12 @@ class RenderSettings:
     motion_sampling_max_extra_samples: int = 2  # Renderer.swift:158
     enable_motion_adaptive_accumulation: bool = True  # Renderer.swift:129
     # Ray-batch tile size for the wavefront pipeline (pixels per tile).
-    # XLA:TPU compile time scales with while-body lane width, and smaller
-    # tiles also terminate their sample/bounce loops on their own (local)
-    # worst lane - 16k is the measured sweet spot.
-    tile_pixels: int = 16384
+    # Measured sweep (512^2 app scene, v5e): 65536/8/sort-on = 0.81 Mrays/s,
+    # 16384/2 = 0.62, no-sort = 0.50.
+    tile_pixels: int = 65536
     # Traversal chunking: each tile's rays are sorted for coherence and
     # traversed in this many independent while_loops (tail isolation).
-    traversal_chunks: int = 2
+    traversal_chunks: int = 8
     sort_rays: bool = True
 
     @property

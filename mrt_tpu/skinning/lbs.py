@@ -30,8 +30,11 @@ def dense_weights(joint_indices: np.ndarray, joint_weights: np.ndarray, n_joints
     rows = np.arange(v)
     for k in range(joint_indices.shape[1]):
         np.add.at(dense, (rows, np.clip(joint_indices[:, k], 0, n_joints - 1)), w[:, k])
+    # fallback weights float4(1,0,0,0) apply to jointMatrices[indices.x] —
+    # the vertex's FIRST joint index, not global joint 0 (Skinning.metal:28-37)
     dense[fallback] = 0.0
-    dense[fallback, 0] = 1.0
+    first_joint = np.clip(joint_indices[fallback, 0], 0, n_joints - 1)
+    dense[np.flatnonzero(fallback), first_joint] = 1.0
     return dense
 
 
