@@ -434,9 +434,9 @@ def _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap):
     return hit, jnp.maximum(tnear, 0.0)
 
 
-def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
+def _sort_keys_generic(rays: Rays, live: jnp.ndarray, bmin, bmax) -> jnp.ndarray:
     """Coherence sort key: dead lanes last, then direction octant, then a
-    Morton cell of the origin (normalized by the root bounds from table row 0).
+    Morton-ish cell of the origin (normalized by the given scene bounds).
     Sorting + chunking makes each chunk's while_loop tail match its own
     (coherent) workload instead of the global worst lane."""
     d = rays.direction
@@ -445,13 +445,6 @@ def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
         + 2 * (d[:, 1] < 0).astype(jnp.int32)
         + 4 * (d[:, 2] < 0).astype(jnp.int32)
     )
-    if wbvh.n_internal > 0:
-        root = wbvh.table[0]
-        bmin = jnp.stack([jnp.min(root[0:8]), jnp.min(root[8:16]), jnp.min(root[16:24])])
-        bmax = jnp.stack([jnp.max(root[24:32]), jnp.max(root[32:40]), jnp.max(root[40:48])])
-    else:
-        bmin = jnp.zeros(3)
-        bmax = jnp.ones(3)
     extent = jnp.maximum(bmax - bmin, 1e-6)
     q = jnp.clip((rays.origin - bmin) / extent, 0.0, 1.0)
     cell = (
@@ -461,6 +454,18 @@ def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
     )
     key = octant * 4096 + cell
     return jnp.where(live, key, jnp.int32(1 << 24))
+
+
+def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
+    A = ARITY
+    if wbvh.n_internal > 0:
+        root = wbvh.table[0]
+        bmin = jnp.stack([jnp.min(root[0:A]), jnp.min(root[A:2*A]), jnp.min(root[2*A:3*A])])
+        bmax = jnp.stack([jnp.max(root[3*A:4*A]), jnp.max(root[4*A:5*A]), jnp.max(root[5*A:6*A])])
+    else:
+        bmin = jnp.zeros(3)
+        bmax = jnp.ones(3)
+    return _sort_keys_generic(rays, live, bmin, bmax)
 
 
 def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,

@@ -198,6 +198,10 @@ class RenderSettings:
     # traversed in this many independent while_loops (tail isolation).
     traversal_chunks: int = 8
     sort_rays: bool = True
+    # Traversal engine: "wide" = packed-row wide BVH (gather-bound),
+    # "cluster" = dense cluster-packet tracer (FLOP-bound, zero hot gathers).
+    traversal_backend: str = "wide"
+    cluster_packet: int = 256
 
     @property
     def base_samples(self) -> int:

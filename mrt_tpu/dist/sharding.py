@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..bvh import clusters as cl
 from ..bvh import wide
 from ..core import types as T
 from ..engine import scene as scene_mod
@@ -85,7 +86,10 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
 
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
-        bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        if settings.traversal_backend == "cluster":
+            bvh = cl.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        else:
+            bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
         # Each sp shard uses a disjoint Halton index window.
         sample_base = (uniforms.frame_index * sp + sp_rank) * sample_stride
@@ -133,6 +137,7 @@ class DistributedRenderer:
         tmp = Renderer.__new__(Renderer)
         object.__setattr__(tmp, "_initialized", False)
         tmp.scene_data = self.scene_data
+        tmp.traversal_backend = settings.traversal_backend
         Renderer._build_bvh(tmp)
         self.bvh = tmp.bvh
 

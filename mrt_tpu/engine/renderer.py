@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..bvh import clusters as cl
 from ..bvh import wide
 from ..core import halton as H
 from ..core import types as T
@@ -94,7 +95,10 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
     with jax.named_scope("bvh_refit"):
-        bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        if settings.traversal_backend == "cluster":
+            bvh = cl.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        else:
+            bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
     with jax.named_scope("trace"):
         out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
@@ -194,6 +198,8 @@ class Renderer:
         self.tile_pixels = T.RenderSettings.tile_pixels
         self.traversal_chunks = T.RenderSettings.traversal_chunks
         self.sort_rays = T.RenderSettings.sort_rays
+        self.traversal_backend = T.RenderSettings.traversal_backend
+        self.cluster_packet = T.RenderSettings.cluster_packet
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -227,9 +233,14 @@ class Renderer:
 
     # -- accumulation-reset idiom ----------------------------------------------
     def __setattr__(self, name, value):
+        changed = getattr(self, name, None) is not value
         object.__setattr__(self, name, value)
-        if getattr(self, "_initialized", False) and name in _RESET_PROPS:
-            object.__setattr__(self, "frame_index", 0)
+        if getattr(self, "_initialized", False):
+            if name in _RESET_PROPS:
+                object.__setattr__(self, "frame_index", 0)
+            if name == "traversal_backend" and changed:
+                self._build_bvh()
+                object.__setattr__(self, "frame_index", 0)
 
     # -- sizes -------------------------------------------------------------------
     @property
@@ -257,6 +268,8 @@ class Renderer:
             tile_pixels=self.tile_pixels,
             traversal_chunks=self.traversal_chunks,
             sort_rays=self.sort_rays,
+            traversal_backend=self.traversal_backend,
+            cluster_packet=self.cluster_packet,
         )
 
     # -- state -------------------------------------------------------------------
@@ -284,7 +297,10 @@ class Renderer:
         M = transforms[vinst]
         pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
         idx = np.asarray(scene.indices)
-        self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
+        if self.traversal_backend == "cluster":
+            self.bvh = cl.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
+        else:
+            self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
 
     def rebuild_bvh(self):
         self._build_bvh()

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..assets import texture as tex
+from ..bvh import clusters as cl
 from ..bvh import wide
 from ..bvh.wide import WideBVH
 from ..core import halton as H
@@ -117,7 +118,7 @@ def trace_tile(
     settings: T.RenderSettings,
     statics: SceneStatics,
     scene: SceneData,
-    bvh: WideBVH,
+    bvh,  # WideBVH or ClusterSet, per settings.traversal_backend
     geom: Geometry,
     uniforms: T.FrameUniforms,
     pixel_x: jnp.ndarray,  # (P,) int32
@@ -196,9 +197,12 @@ def trace_tile(
             st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
             n_chunks = settings.traversal_chunks if P % max(settings.traversal_chunks, 1) == 0 else 1
-            hits = wide.closest_hit(
-                bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays
-            )
+            if settings.traversal_backend == "cluster":
+                hits = cl.closest_hit(bvh, rays, mask=active, packet=settings.cluster_packet)
+            else:
+                hits = wide.closest_hit(
+                    bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays
+                )
             hit = hits.hit & active
             # miss -> bounced out of the scene (Raytracing.metal:320-322).
             # With an environment attached, miss rays pick up its radiance
@@ -432,9 +436,12 @@ def trace_tile(
                     max_distance=l_dist - 1e-3,
                 )
                 st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
-                occluded = wide.any_hit(
-                    bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
-                )
+                if settings.traversal_backend == "cluster":
+                    occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                else:
+                    occluded = wide.any_hit(
+                        bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                    )
                 contrib = legacy_color * l_col * n_dot_l[:, None]
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], contrib, 0.0
@@ -479,9 +486,12 @@ def trace_tile(
                     max_distance=l_dist - 1e-3,
                 )
                 st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
-                occluded = wide.any_hit(
-                    bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
-                )
+                if settings.traversal_backend == "cluster":
+                    occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                else:
+                    occluded = wide.any_hit(
+                        bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                    )
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
                 )
@@ -587,7 +597,7 @@ def trace_block(
     settings: T.RenderSettings,
     statics: SceneStatics,
     scene: SceneData,
-    bvh: WideBVH,
+    bvh,  # WideBVH or ClusterSet, per settings.traversal_backend
     geom: Geometry,
     uniforms: T.FrameUniforms,
     offsets: jnp.ndarray,  # (h_blk, W) int32
