@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels.present import tonemap_quantize
 from ..render.shade import reinhard_tonemap
 from . import spatial, temporal
 
@@ -21,7 +22,7 @@ from . import spatial, temporal
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _present_spatial(color, out_h, out_w, method):
     up = spatial.upscale(color, out_h, out_w, method=method)
-    return (jnp.clip(reinhard_tonemap(up), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return tonemap_quantize(up)  # fused Pallas tonemap+quantize on TPU
 
 
 @partial(jax.jit, static_argnums=(5, 6))
@@ -29,8 +30,7 @@ def _present_temporal(color, depth, motion, history, history_weight, out_h, out_
     up, new_history = temporal.temporal_upscale(
         color, depth, motion, history, out_h, out_w, history_weight=history_weight
     )
-    img = (jnp.clip(reinhard_tonemap(up), 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
-    return img, new_history
+    return tonemap_quantize(up), new_history
 
 
 def present(renderer) -> np.ndarray:
