@@ -71,3 +71,26 @@ def test_dp_sp_sharded_runs_and_reduces_variance():
     assert np.isfinite(b).all()
     assert np.abs(a - b).mean() > 1e-8  # extra samples changed the estimate
     assert np.abs(a - b).mean() < 0.5  # but it's the same image
+
+
+def test_dp_sharded_skinned_scene_runs():
+    """Full sharded step with skinning (the dryrun_multichip path) produces a
+    finite image and motion once the pose changes."""
+    import __graft_entry__ as g
+
+    scene = g._tiny_scene(32, 32, skinned=True)
+    settings = _settings(32, 32)
+    dr = DistributedRenderer(scene, settings, mesh=make_mesh(n_devices=4, sp=1))
+    a = np.asarray(dr.draw())
+    assert np.isfinite(a).all()
+    # drive a new pose through set_joint_matrices
+    from mrt_tpu.skinning import animation as anim
+    from mrt_tpu.skinning import lbs
+
+    i, _, _ = dr.statics.skin_slices[0]
+    sk = scene.models[i].skin
+    m = anim.compute_joint_matrices(sk.skeleton, sk.animation, 0.4)
+    dr.set_joint_matrices((jnp.asarray(lbs.compose_final_matrices(m, sk.geometry_bind)),))
+    b = np.asarray(dr.draw())
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0  # pose changed something

@@ -113,3 +113,30 @@ def test_view_presets():
     assert r.camera_elevation == pytest.approx(r.camera_elevation_limit)
     img = np.asarray(r.draw())
     assert np.isfinite(img).all()
+
+
+def test_tps_camera_mode_follows_player():
+    r = _renderer()
+    r.view_mode = "tps"
+    r.player_model_index = 0
+    r.draw()
+    t0 = r.camera_target.copy()
+    # orbit is disabled in TPS (Renderer.swift:1328-1329)
+    az = r.camera_azimuth
+    r.orbit(100.0, 0.0)
+    assert r.camera_azimuth == az
+    # moving the player moves the camera target
+    r.scene.move_model(0, forward=0.5)
+    r.draw()
+    assert not np.allclose(r.camera_target, t0)
+    r.view_mode = "world"
+
+
+def test_zoom_clamps_to_distance_limits():
+    r = _renderer()
+    for _ in range(50):
+        r.zoom(0.9)  # zoom in hard
+    assert r.camera_distance >= r.min_camera_distance
+    for _ in range(50):
+        r.zoom(-5.0)
+    assert r.camera_distance <= r.max_camera_distance
