@@ -202,6 +202,11 @@ class RenderSettings:
     # "cluster" = dense cluster-packet tracer (FLOP-bound, zero hot gathers).
     traversal_backend: str = "wide"
     cluster_packet: int = 256
+    # Geometry sharding (SURVEY §5.7): when set to a mesh axis name, each
+    # chip's bvh argument is its LOCAL shard of the scene's BVH; per-bounce
+    # hits are combined across the axis with min-t collectives. For BVHs
+    # larger than one chip's HBM.
+    geometry_axis: str | None = None
 
     @property
     def base_samples(self) -> int:

@@ -23,7 +23,8 @@ _BLOCK_ROWS = 256
 def _kernel(x_ref, o_ref):
     c = x_ref[:]
     tone = c / (1.0 + c)  # Reinhard (Shaders.metal:49)
-    o_ref[:] = (jnp.clip(tone, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    # Mosaic lacks a direct f32->uint8 cast; emit int32, narrow outside.
+    o_ref[:] = (jnp.clip(tone, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.int32)
 
 
 def _jnp_fallback(color: jnp.ndarray) -> jnp.ndarray:
@@ -50,11 +51,11 @@ def tonemap_quantize(color: jnp.ndarray, force_pallas: bool = False) -> jnp.ndar
 
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
         grid=(rows_padded // _BLOCK_ROWS,),
         in_specs=[
             pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(flat)
-    return out.reshape(-1)[:n].reshape(h, w, ch)
+    return out.astype(jnp.uint8).reshape(-1)[:n].reshape(h, w, ch)

@@ -104,6 +104,27 @@ def sample_environment(env_map: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndar
     return top * (1 - fy) + bot * fy
 
 
+def combine_hits_across(hits, axis: str):
+    """Min-t hit reduction across a geometry-sharded mesh axis: every chip
+    traced the same rays against its own BVH shard; the winner is the
+    globally closest hit (ties broken by lowest rank)."""
+    t_min = jax.lax.pmin(hits.t, axis)
+    rank = jax.lax.axis_index(axis)
+    mine = (hits.t == t_min) & (hits.triangle >= 0)
+    winner_rank = jax.lax.pmin(jnp.where(mine, rank, jnp.int32(1 << 30)), axis)
+    winner = mine & (rank == winner_rank)
+
+    def pick(v, fill):
+        return jax.lax.psum(jnp.where(winner, v, fill), axis)
+
+    return T.Hits(
+        t=t_min,
+        triangle=pick(hits.triangle, 0) - (1 - jax.lax.psum(winner.astype(jnp.int32), axis)),
+        u=pick(hits.u, 0.0),
+        v=pick(hits.v, 0.0),
+    )
+
+
 def _project(camera: T.Camera, world_pos: jnp.ndarray):
     """Screen projection used for motion vectors (Raytracing.metal:360-376)."""
     view = world_pos - camera.position
@@ -203,6 +224,8 @@ def trace_tile(
                 hits = wide.closest_hit(
                     bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays
                 )
+            if settings.geometry_axis:
+                hits = combine_hits_across(hits, settings.geometry_axis)
             hit = hits.hit & active
             # miss -> bounced out of the scene (Raytracing.metal:320-322).
             # With an environment attached, miss rays pick up its radiance
@@ -442,6 +465,8 @@ def trace_tile(
                     occluded = wide.any_hit(
                         bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
                     )
+                if settings.geometry_axis:
+                    occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
                 contrib = legacy_color * l_col * n_dot_l[:, None]
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], contrib, 0.0
@@ -492,6 +517,8 @@ def trace_tile(
                     occluded = wide.any_hit(
                         bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
                     )
+                if settings.geometry_axis:
+                    occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
                 st["accumulated"] = st["accumulated"] + jnp.where(
                     (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
                 )
