@@ -191,12 +191,12 @@ class RenderSettings:
     motion_sampling_max_extra_samples: int = 2  # Renderer.swift:158
     enable_motion_adaptive_accumulation: bool = True  # Renderer.swift:129
     # Ray-batch tile size for the wavefront pipeline (pixels per tile).
-    # Measured sweep (512^2 app scene, v5e): 65536/8/sort-on = 0.81 Mrays/s,
-    # 16384/2 = 0.62, no-sort = 0.50.
+    # Measured sweep (512^2 app scene, v5e): 65536/16/sort-on = 0.92 Mrays/s;
+    # /8 = 0.81, 16384/2 = 0.62, no-sort = 0.50, tile 131072 = 0.81.
     tile_pixels: int = 65536
     # Traversal chunking: each tile's rays are sorted for coherence and
     # traversed in this many independent while_loops (tail isolation).
-    traversal_chunks: int = 8
+    traversal_chunks: int = 16
     sort_rays: bool = True
     # Traversal engine: "wide" = packed-row wide BVH (gather-bound),
     # "cluster" = dense cluster-packet tracer (FLOP-bound, zero hot gathers).
