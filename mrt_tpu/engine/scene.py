@@ -82,6 +82,17 @@ class Model:
         self.material_override = material_override
         self.mesh = mesh if mesh is not None else _resolve_mesh(name)
         self.skin = skin
+        # rigged asset formats (glTF) attach skin info during resolution
+        if self.skin is None and getattr(self.mesh, "_skin_info", None):
+            si = self.mesh._skin_info
+            self.skin = SkinData(
+                joint_indices=si["joint_indices"],
+                joint_weights=si["joint_weights"],
+                rest_joints=si["rest_joints"],
+                skeleton=si["skeleton"],
+                animation=si["animation"],
+                geometry_bind=si["geometry_bind"],
+            )
         if material_override is not None:
             for sub in self.mesh.submeshes:
                 _apply_override(sub.material, material_override)
@@ -125,6 +136,14 @@ def _resolve_mesh(name: str) -> MeshData:
     OBJ in the asset search paths; fall back to procedural stand-ins for the
     repository's missing large blobs (dragon/bunny/robot)."""
     for root in ASSET_SEARCH_PATHS:
+        for candidate in (root / f"{name}.glb", root / f"{name}.gltf",
+                          root / name / f"{name}.glb", root / name / f"{name}.gltf"):
+            if candidate.exists():
+                from ..assets.gltf import load_gltf
+
+                mesh, skin_info = load_gltf(candidate)
+                mesh._skin_info = skin_info
+                return mesh
         for candidate in (root / f"{name}.obj", root / name / f"{name}.obj"):
             if candidate.exists():
                 return load_obj(candidate)
