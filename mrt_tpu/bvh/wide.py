@@ -1,14 +1,16 @@
-"""Wide (8-ary) BVH with packed gather rows — the performance traversal path.
+"""Wide (ARITY-ary) BVH with packed gather rows — the performance traversal
+path.
 
-Why this shape (measured on TPU v5e, see bench notes in git history):
-XLA's gather costs ~10-20 ns per ROW regardless of row width (1..64 f32), so
-the whole traversal is gather-count-bound. The design therefore packs
-everything a traversal step needs into ONE 64-float row:
+Why this shape (measured on TPU v5e, docs/PERF.md): XLA's gather costs
+~10-20 ns per ROW nearly independent of row width (1..128 f32), so the whole
+traversal is gather-count-bound. The design therefore packs everything a
+traversal step needs into ONE ROW-float row:
 
-* internal row: 8 child AABBs in SoA order [bminx*8|bminy*8|bminz*8|
-  bmaxx*8|bmaxy*8|bmaxz*8] (48) + 8 child entry ids (int32 bitcast, 48..55)
-* leaf row: 4 whole triangles [v0x*4|v0y*4|v0z*4|v1x*4|...|v2z*4] (36) +
-  4 original triangle ids (36..39)
+* internal row: ARITY child AABBs in SoA order [bminx*A|...|bmaxz*A] + ARITY
+  child entry ids (int32 bitcast)
+* leaf row: LEAF_K whole triangles [v0x*K|...|v2z*K] + LEAF_K tri ids
+
+Tuned 12/8/128 (16/12 and 8/4/64 measured slower end-to-end).
 
 One unified table (internal rows first, then leaf rows) means each loop
 iteration does exactly one row gather; a lane decodes its row as internal or
@@ -71,9 +73,9 @@ class WideBVH:
     them (they define trace structure, not data)."""
 
     def __init__(self, table, node_child, leaf_tri, n_internal: int, depth: int):
-        self.table = table  # (N, 64) f32 unified gather table
-        self.node_child = node_child  # (Ni, 8) int32 entry ids, -1 = empty
-        self.leaf_tri = leaf_tri  # (Nl, 4) int32 original tri ids, -1 = pad
+        self.table = table  # (N, ROW) f32 unified gather table
+        self.node_child = node_child  # (Ni, ARITY) int32 entry ids, -1 = empty
+        self.leaf_tri = leaf_tri  # (Nl, LEAF_K) int32 original tri ids, -1 = pad
         self.n_internal = int(n_internal)
         self.depth = int(depth)
 
