@@ -27,7 +27,6 @@ Renderer.swift:1084-1202).
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

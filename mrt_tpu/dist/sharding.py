@@ -20,7 +20,6 @@ than HBM, SURVEY.md §5.7) is the planned extension.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ returns device arrays without blocking; only image readback syncs.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -27,7 +26,6 @@ from ..bvh import wide
 from ..core import halton as H
 from ..core import types as T
 from ..render import accumulate as acc
-from ..render import shade as S
 from ..render import wavefront as wf
 from . import scene as scene_mod
 

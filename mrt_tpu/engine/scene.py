@@ -25,7 +25,6 @@ import numpy as np
 
 from ..assets import texture as tex
 from ..assets.obj import MaterialDef, MeshData, load_obj
-from ..bvh import lbvh
 from ..core import types as T
 from ..utils import math3d
 

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from ..assets import texture as tex
 from ..bvh import clusters as cl
 from ..bvh import wide
-from ..bvh.wide import WideBVH
 from ..core import halton as H
 from ..core import types as T
 from ..engine.scene import SceneData, SceneStatics

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.present import tonemap_quantize
-from ..render.shade import reinhard_tonemap
 from . import spatial, temporal
 
 
