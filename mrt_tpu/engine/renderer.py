@@ -207,9 +207,9 @@ class Renderer:
         self.camera_elevation = scene.camera_elevation
         self.camera_distance = scene.camera_distance
         self.camera_fov_degrees = scene.camera_fov_degrees
-        self.min_camera_distance = 0.5
-        self.max_camera_distance = 50.0
-        self.camera_elevation_limit = np.pi / 2 - 0.001
+        self.min_camera_distance = 1.5  # Renderer.swift:224
+        self.max_camera_distance = 50.0  # Renderer.swift:225
+        self.camera_elevation_limit = np.pi / 2 - 0.01  # Renderer.swift:226
 
         self.frame_index = 0
         self._previous_camera: T.Camera | None = None
