@@ -100,6 +100,7 @@ def main():
     import jax
 
     r.draw()
+    r.output_image()  # compile the presenter chain outside the timed loop
     jax.block_until_ready(r.accum)
     t0 = time.time()
     n = 4

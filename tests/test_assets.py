@@ -103,3 +103,20 @@ f -4 -3 -2 -1
     mesh = obj.load_obj(p)
     assert mesh.triangle_count == 2  # fan triangulation
     assert mesh.positions.shape[0] == 4
+
+
+def test_native_obj_parser_matches_python():
+    from mrt_tpu.utils import native
+
+    if not native.available() or not ASSETS.exists():
+        pytest.skip("native lib or assets unavailable")
+    p = str(ASSETS / "teapot.obj")
+    mesh = obj.load_obj(p)
+    out = native.parse_obj_geometry(p)
+    assert out is not None
+    pos, uv, nrm, idx = out
+    assert pos.shape[0] == mesh.positions.shape[0]
+    assert idx.shape[0] == mesh.triangle_count
+    # same geometry content (vertex order matches: both dedupe in face order)
+    np.testing.assert_allclose(pos, mesh.positions, atol=1e-6)
+    np.testing.assert_array_equal(idx, np.concatenate([s.indices for s in mesh.submeshes]))
