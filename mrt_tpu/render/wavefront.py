@@ -45,7 +45,12 @@ from . import shade as S
 
 class Geometry(NamedTuple):
     """Per-frame world-space geometry (output of the transform/skin/refit
-    stage), consumed by trace."""
+    stage), consumed by trace.
+
+    The shade stage is gather-bound like the BVH (docs/PERF.md), so everything
+    a hit needs is packed into per-TRIANGLE rows built once per frame: one
+    (P,) row gather per bounce replaces ~12 per-attribute gathers.
+    """
 
     positions_w: jnp.ndarray  # (V,3)
     prev_positions_w: jnp.ndarray  # (V,3)
@@ -53,13 +58,54 @@ class Geometry(NamedTuple):
     tri_v0: jnp.ndarray  # (T,3) world-space triangle verts (original order)
     tri_v1: jnp.ndarray
     tri_v2: jnp.ndarray
+    # packed per-triangle shade row (T,16):
+    # [n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) resource(1)]
+    shade_rows: jnp.ndarray
+    # packed per-triangle motion row (T,18): cur verts (9) + prev verts (9)
+    motion_rows: jnp.ndarray
+    # packed per-resource material row (R,16):
+    # [base(3) specular(3) emission(3) spec_exp ior opacity flags pad(3)]
+    mat_rows: jnp.ndarray
 
 
 def build_geometry(scene: SceneData, positions_w, prev_positions_w, normals_w) -> Geometry:
-    v0 = jnp.take(positions_w, scene.indices[:, 0], axis=0)
-    v1 = jnp.take(positions_w, scene.indices[:, 1], axis=0)
-    v2 = jnp.take(positions_w, scene.indices[:, 2], axis=0)
-    return Geometry(positions_w, prev_positions_w, normals_w, v0, v1, v2)
+    idx = scene.indices
+    v0 = jnp.take(positions_w, idx[:, 0], axis=0)
+    v1 = jnp.take(positions_w, idx[:, 1], axis=0)
+    v2 = jnp.take(positions_w, idx[:, 2], axis=0)
+
+    n0 = jnp.take(normals_w, idx[:, 0], axis=0)
+    n1 = jnp.take(normals_w, idx[:, 1], axis=0)
+    n2 = jnp.take(normals_w, idx[:, 2], axis=0)
+    uv0 = jnp.take(scene.uvs, idx[:, 0], axis=0)
+    uv1 = jnp.take(scene.uvs, idx[:, 1], axis=0)
+    uv2 = jnp.take(scene.uvs, idx[:, 2], axis=0)
+    res_f = scene.tri_resource.astype(jnp.float32)  # resource counts are small
+    shade_rows = jnp.concatenate([n0, n1, n2, uv0, uv1, uv2, res_f[:, None]], axis=1)
+
+    p0 = jnp.take(prev_positions_w, idx[:, 0], axis=0)
+    p1 = jnp.take(prev_positions_w, idx[:, 1], axis=0)
+    p2 = jnp.take(prev_positions_w, idx[:, 2], axis=0)
+    motion_rows = jnp.concatenate([v0, v1, v2, p0, p1, p2], axis=1)
+
+    m = scene.materials
+    mat_rows = jnp.concatenate(
+        [
+            m.base_color,
+            m.specular,
+            m.emission,
+            m.specular_exponent[:, None],
+            m.refraction_index[:, None],
+            m.opacity[:, None],
+            m.texture_flags.astype(jnp.float32)[:, None],  # bits <= 127: exact
+            jnp.zeros((m.base_color.shape[0], 3), jnp.float32),
+        ],
+        axis=1,
+    )
+    return Geometry(
+        positions_w, prev_positions_w, normals_w, v0, v1, v2,
+        shade_rows, motion_rows, mat_rows,
+    )
 
 
 class TileOutputs(NamedTuple):
@@ -238,14 +284,23 @@ def trace_tile(
             st["active"] = active & hit
 
             tri = jnp.maximum(hits.triangle, 0)
-            res = jnp.take(scene.tri_resource, tri)
+            # ONE packed-row gather per stage (shade-row, motion-row, mat-row)
+            # replaces ~12 per-attribute gathers — see docs/PERF.md.
+            srow = jnp.take(geom.shade_rows, tri, axis=0)  # (P,16)
+            res = srow[:, 15].astype(jnp.int32)
             world_point = st["ray_o"] + st["ray_d"] * hits.t[:, None]
 
+            u_b1 = hits.u[:, None]
+            v_b1 = hits.v[:, None]
+            w_b1 = 1.0 - u_b1 - v_b1
+
             # --- primary depth + motion (bounce 0, sample 0) -----------------
-            # (Raytracing.metal:342-389)
+            # (Raytracing.metal:342-389); interpolation weights as in
+            # interpolateVertexAttribute (u->v1, v->v2, 1-u-v->v0)
             primary = hit & (st["bounce"] == 0) & is_sample0
-            obj_pos_w = S.interpolate_attribute(geom.positions_w, scene.indices, tri, hits.u, hits.v)
-            prev_pos_w = S.interpolate_attribute(geom.prev_positions_w, scene.indices, tri, hits.u, hits.v)
+            mrow = jnp.take(geom.motion_rows, tri, axis=0)  # (P,18)
+            obj_pos_w = u_b1 * mrow[:, 3:6] + v_b1 * mrow[:, 6:9] + w_b1 * mrow[:, 0:3]
+            prev_pos_w = u_b1 * mrow[:, 12:15] + v_b1 * mrow[:, 15:18] + w_b1 * mrow[:, 9:12]
             sx, sy, pdepth = _project(uniforms.camera, obj_pos_w)
             psx, psy, _ = _project(uniforms.previous_camera, prev_pos_w)
             right_scale = jnp.maximum(S.length(uniforms.camera.right), 1e-5)
@@ -259,15 +314,15 @@ def trace_tile(
             st["had_primary"] = st["had_primary"] | primary
 
             # --- surface normal (Raytracing.metal:391-397) -------------------
-            nrm_raw = S.interpolate_attribute(geom.normals_w, scene.indices, tri, hits.u, hits.v)
+            nrm_raw = u_b1 * srow[:, 3:6] + v_b1 * srow[:, 6:9] + w_b1 * srow[:, 0:3]
             degenerate = S.length(nrm_raw) < 1e-10
             nrm = jnp.where(degenerate[:, None], -st["ray_d"], S.normalize(nrm_raw))
 
             # --- material + textures (Raytracing.metal:399-456) --------------
-            mat = scene.materials
-            albedo = jnp.take(mat.base_color, res, axis=0)
-            flags = jnp.take(mat.texture_flags, res)
-            tex_coord = S.interpolate_attribute(scene.uvs, scene.indices, tri, hits.u, hits.v)
+            matrow = jnp.take(geom.mat_rows, res, axis=0)  # (P,16)
+            albedo = matrow[:, 0:3]
+            flags = matrow[:, 12].astype(jnp.uint32)
+            tex_coord = u_b1 * srow[:, 11:13] + v_b1 * srow[:, 13:15] + w_b1 * srow[:, 9:11]
             tex_coord = tex_coord.at[:, 1].set(1.0 - tex_coord[:, 1])  # UV y-flip, :417
 
             def has(bit):
@@ -295,12 +350,12 @@ def trace_tile(
                 s = tex.sample_bilinear(scene.atlas, res, tex.MAP_AO, tex_coord)[:, 0]
                 ao = jnp.where(has(T.MATERIAL_TEXTURE_AO), s, ao)
 
-            opacity = jnp.clip(jnp.take(mat.opacity, res), 0.0, 1.0)
+            opacity = jnp.clip(matrow[:, 11], 0.0, 1.0)
             if statics.any_map[tex.MAP_OPACITY]:
                 s = tex.sample_bilinear(scene.atlas, res, tex.MAP_OPACITY, tex_coord)[:, 0]
                 opacity = jnp.where(has(T.MATERIAL_TEXTURE_OPACITY), opacity * s, opacity)
 
-            emission = jnp.take(mat.emission, res, axis=0)
+            emission = matrow[:, 6:9]
             if statics.any_map[tex.MAP_EMISSION]:
                 s = tex.sample_bilinear(scene.atlas, res, tex.MAP_EMISSION, tex_coord)
                 emission = jnp.where(has(T.MATERIAL_TEXTURE_EMISSION)[:, None], s, emission)
@@ -370,7 +425,7 @@ def trace_tile(
             skip_lighting = jnp.zeros((P,), bool)
             consume_bounce = jnp.ones((P,), bool)
             if statics.has_refraction:
-                ior = jnp.maximum(jnp.take(mat.refraction_index, res), 1.0)
+                ior = jnp.maximum(matrow[:, 10], 1.0)
                 clamped_op = jnp.clip(opacity, 0.0, 1.0)
                 glass = hit & ((clamped_op < 0.999) | (ior > 1.01))
 
