@@ -1,0 +1,201 @@
+"""Independent scalar NumPy path tracer — the cross-validation oracle.
+
+Written directly from the Metal megakernel listing (Raytracing.metal:221-831)
+as the specification, deliberately NOT sharing code with mrt_tpu's vectorized
+pipeline, so systematic errors in the JAX wavefront can't hide. Brute-force
+intersection; scalar per-pixel loops; tiny scenes only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mrt_tpu.core.halton import halton_np
+
+
+def _normalize(v):
+    return v / max(np.linalg.norm(v), 1e-20)
+
+
+def _intersect_all(o, d, v0, v1, v2, t_min, t_max):
+    """Brute-force Möller–Trumbore over all triangles. Returns (tri, t, u, v)
+    of the closest hit or (-1, inf, 0, 0)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = np.cross(d, e2)
+    det = np.einsum("ij,ij->i", e1, p)
+    valid = np.abs(det) > 1e-9
+    inv = np.where(valid, 1.0 / np.where(valid, det, 1.0), 0.0)
+    tv = o - v0
+    u = np.einsum("ij,ij->i", tv, p) * inv
+    q = np.cross(tv, e1)
+    v = np.einsum("ij,ij->i", q, np.broadcast_to(d, v0.shape)) * inv
+    t = np.einsum("ij,ij->i", e2, q) * inv
+    hit = valid & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= t_min) & (t <= t_max)
+    t = np.where(hit, t, np.inf)
+    i = int(np.argmin(t))
+    if not np.isfinite(t[i]):
+        return -1, np.inf, 0.0, 0.0
+    return i, float(t[i]), float(u[i]), float(v[i])
+
+
+def _any_hit(o, d, v0, v1, v2, t_min, t_max):
+    tri, t, _, _ = _intersect_all(o, d, v0, v1, v2, t_min, t_max)
+    return tri >= 0
+
+
+def _interp(attr, idx, tri, u, v):
+    """interpolateVertexAttribute (Raytracing.metal:61-74)."""
+    i1, i2, i0 = idx[tri, 1], idx[tri, 2], idx[tri, 0]
+    return u * attr[i1] + v * attr[i2] + (1.0 - u - v) * attr[i0]
+
+
+def _sample_cosine(u):
+    phi = 2.0 * np.pi * u[0]
+    cos_theta = np.sqrt(u[1])
+    sin_theta = np.sqrt(max(1.0 - cos_theta * cos_theta, 0.0))
+    return np.array([sin_theta * np.cos(phi), cos_theta, sin_theta * np.sin(phi)])
+
+
+def _align(sample, normal):
+    up = normal
+    right = _normalize(np.cross(normal, np.array([0.0072, 1.0, 0.0034])))
+    forward = np.cross(right, up)
+    return sample[0] * right + sample[1] * up + sample[2] * forward
+
+
+def render_oracle(
+    width,
+    height,
+    camera,  # dict: position, right, up, forward (numpy (3,))
+    offsets,  # (H, W) int halton offsets
+    verts_w,  # (V,3) world positions
+    normals_w,  # (V,3) world normals (NOT normalized per vertex)
+    indices,  # (T,3)
+    tri_resource,  # (T,)
+    base_color,  # (R,3)
+    emission,  # (R,3)
+    lights,  # list of dicts: type, position, color, forward, right, up,
+    #          cone_angle, direction
+    spp=1,
+    max_bounces=2,
+    frame_index=0,
+):
+    """One frame, PBR mode, no textures / opacity=1 / roughness=1 / metal=0
+    (untextured OBJ materials). Returns (H, W, 3) radiance."""
+    v0 = verts_w[indices[:, 0]]
+    v1 = verts_w[indices[:, 1]]
+    v2 = verts_w[indices[:, 2]]
+    n_lights = len(lights)
+    img = np.zeros((height, width, 3))
+
+    for y in range(height):
+        for x in range(width):
+            offset = int(offsets[y, x])
+            total = np.zeros(3)
+            for s in range(spp):
+                frame_offset = frame_index * spp + s
+                i_h = offset + frame_offset
+                r0 = halton_np(i_h, 0)
+                r1 = halton_np(i_h, 1)
+                u = (x + r0) / width * 2.0 - 1.0
+                v = (y + r1) / height * 2.0 - 1.0
+                ro = camera["position"].copy()
+                rd = _normalize(u * camera["right"] + v * camera["up"] + camera["forward"])
+
+                color = np.ones(3)
+                acc = np.zeros(3)
+                bounce = 0
+                step = 0
+                while bounce < max_bounces:
+                    tri, t, bu, bv = _intersect_all(ro, rd, v0, v1, v2, 0.0, np.inf)
+                    if tri < 0:
+                        break
+                    p = ro + rd * t
+                    nrm_raw = _interp(normals_w, indices, tri, bu, bv)
+                    if np.linalg.norm(nrm_raw) < 1e-10:
+                        nrm = -rd
+                    else:
+                        nrm = _normalize(nrm_raw)
+                    res = tri_resource[tri]
+                    albedo = base_color[res]
+                    acc = acc + color * emission[res]
+
+                    # pick 1 of N lights (dim 2 + step*6 + 0)
+                    ls = halton_np(i_h, 2 + step * 6 + 0)
+                    li = min(int(ls * n_lights), n_lights - 1)
+                    L = lights[li]
+                    if L["type"] == 4:  # area
+                        ra = halton_np(i_h, 2 + step * 6 + 1) * 2 - 1
+                        rb = halton_np(i_h, 2 + step * 6 + 2) * 2 - 1
+                        sp_ = L["position"] + L["right"] * ra + L["up"] * rb
+                        ldir = sp_ - p
+                        ldist = np.linalg.norm(ldir)
+                        inv_d = 1.0 / max(ldist, 1e-3)
+                        ldir = ldir * inv_d
+                        lcol = L["color"] * inv_d * inv_d
+                        lcol = lcol * max(min(np.dot(-ldir, L["forward"]), 1.0), 0.0)
+                    elif L["type"] == 2:  # spot
+                        vec = L["position"] - p
+                        ldist = np.linalg.norm(vec)
+                        inv_d = 1.0 / max(ldist, 1e-3)
+                        ldir = vec * inv_d
+                        cone = _normalize(L["direction"])
+                        if np.dot(-ldir, cone) > np.cos(L["cone_angle"]):
+                            lcol = L["color"] * inv_d * inv_d
+                        else:
+                            lcol = np.zeros(3)
+                    elif L["type"] == 3:  # point
+                        vec = L["position"] - p
+                        ldist = np.linalg.norm(vec)
+                        inv_d = 1.0 / max(ldist, 1e-3)
+                        ldir = vec * inv_d
+                        lcol = L["color"] * inv_d * inv_d
+                    else:  # sun
+                        ldir = -_normalize(L["direction"])
+                        ldist = np.inf
+                        lcol = L["color"]
+                    lcol = lcol * n_lights
+
+                    if np.linalg.norm(lcol) > 1e-4:
+                        # PBR direct (roughness=1, metallic=0 for untextured)
+                        roughness, metallic = 1.0, 0.0
+                        pr = min(max(roughness, 0.04), 1.0)
+                        alpha = pr * pr
+                        F0 = 0.04 + (albedo - 0.04) * metallic
+                        V = _normalize(-rd)
+                        Ld = _normalize(ldir)
+                        H = _normalize(V + Ld)
+                        ndl = max(min(np.dot(nrm, Ld), 1.0), 0.0)
+                        ndv = max(min(np.dot(nrm, V), 1.0), 0.0)
+                        ndh = max(min(np.dot(nrm, H), 1.0), 0.0)
+                        vdh = max(min(np.dot(V, H), 1.0), 0.0)
+                        F = F0 + (1 - F0) * (1 - vdh) ** 5
+                        a2 = alpha * alpha
+                        denom = ndh * ndh * (a2 - 1) + 1
+                        D = a2 / max(np.pi * denom * denom, 1e-7)
+                        k = (pr + 1) ** 2 / 8
+                        G = (ndv / max(ndv * (1 - k) + k, 1e-7)) * (
+                            ndl / max(ndl * (1 - k) + k, 1e-7)
+                        )
+                        spec = D * G * F / max(4 * ndv * ndl, 1e-4)
+                        kD = (1 - F) * (1 - metallic)
+                        direct = (kD * albedo / np.pi + spec) * lcol * ndl
+                        so = p + nrm * 1e-3
+                        if not _any_hit(so, ldir, v0, v1, v2, 0.0, ldist - 1e-3):
+                            acc = acc + color * direct
+
+                    color = color * albedo  # *(1-metal)*ao with metal=0, ao=1
+                    if np.linalg.norm(color) < 0.001:
+                        break
+
+                    rb0 = halton_np(i_h, 2 + step * 5 + 3)
+                    rb1 = halton_np(i_h, 2 + step * 5 + 4)
+                    bdir = _align(_sample_cosine(np.array([rb0, rb1])), nrm)
+                    ro = p + nrm * 1e-3
+                    rd = bdir
+                    step += 1
+                    bounce += 1
+                total = total + acc
+            img[y, x] = total / max(spp, 1)
+    return img
