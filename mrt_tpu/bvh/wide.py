@@ -470,10 +470,16 @@ def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
 
 
 def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
-              chunks: int = 1, sort_rays: bool = False):
-    """Chunked, optionally sorted traversal wrapper around the core loop."""
+              chunks: int = 1, sort_rays: bool = False, shadow=None):
+    """Chunked, optionally sorted traversal wrapper around the core loop.
+
+    ``shadow``: optional (R,) bool — per-lane any-hit mode (shadow lanes
+    retire on first hit; others run closest-hit), enabling MIXED batches
+    that fuse the next-bounce and shadow traversals into one call."""
     n_rays = rays.origin.shape[0]
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
+    if shadow is None:
+        shadow = jnp.full((n_rays,), bool(any_hit_mode))
 
     perm = None
     if sort_rays:
@@ -484,13 +490,14 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
             max_distance=jnp.take(rays.max_distance, perm, axis=0),
         )
         mask = jnp.take(live0, perm, axis=0)
+        shadow = jnp.take(shadow, perm, axis=0)
 
     if chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
 
         def chunk_fn(args):
-            r_o, r_d, r_m, m = args
-            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, any_hit_mode, m)
+            r_o, r_d, r_m, m, sh = args
+            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, m, sh)
 
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
         st = jax.lax.map(
@@ -500,11 +507,12 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
                 rays.direction.reshape(chunks, rc, 3),
                 rays.max_distance.reshape(chunks, rc),
                 m.reshape(chunks, rc),
+                shadow.reshape(chunks, rc),
             ),
         )
         st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
     else:
-        st = _traverse_flat(wbvh, rays, t_min, any_hit_mode, mask)
+        st = _traverse_flat(wbvh, rays, t_min, mask, shadow)
 
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
@@ -512,7 +520,7 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
     return st
 
 
-def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
+def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -538,16 +546,12 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask):
     )
 
     def cond(st):
-        live = st["sp"] > 0
-        if any_hit_mode:
-            live = live & ~st["found"]
+        live = (st["sp"] > 0) & ~(st["found"] & shadow)
         return jnp.any(live)
 
     def body(st):
         sp = st["sp"]
-        active = sp > 0
-        if any_hit_mode:
-            active = active & ~st["found"]
+        active = (sp > 0) & ~(st["found"] & shadow)
         # pop via one-hot select (dynamic per-lane indexing is a gather;
         # S-wide select is pure VPU)
         top_oh = _slot_onehot(sp - 1, STACK)
@@ -613,6 +617,29 @@ def closest_hit(
         u=st["best_u"],
         v=st["best_v"],
     )
+
+
+def trace_mixed(
+    wbvh: WideBVH, rays: Rays, shadow: jnp.ndarray, t_min: float = 0.0, mask=None,
+    chunks: int = 1, sort_rays: bool = False,
+) -> tuple[Hits, jnp.ndarray]:
+    """One traversal over a MIXED batch: lanes with shadow=True run any-hit
+    (retire at first hit), the rest run closest-hit. Fuses the wavefront's
+    next-bounce + shadow traversals into a single sorted/chunked call.
+
+    Returns (Hits for all lanes, occluded flags)."""
+    st = _traverse(
+        wbvh, rays, t_min, any_hit_mode=False, mask=mask,
+        chunks=chunks, sort_rays=sort_rays, shadow=shadow,
+    )
+    found = st["best_tri"] >= 0
+    hits = Hits(
+        t=jnp.where(found, st["best_t"], jnp.inf),
+        triangle=st["best_tri"],
+        u=st["best_u"],
+        v=st["best_v"],
+    )
+    return hits, st["found"] & shadow
 
 
 def any_hit(

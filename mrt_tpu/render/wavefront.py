@@ -248,22 +248,62 @@ def trace_tile(
             gb_rough=jnp.zeros((P,), f32),
             wrote_gb=jnp.zeros((P,), bool),
             rays=jnp.zeros((P,), jnp.int32),
+            # deferred shadow rays (fused-traversal mode): traced together
+            # with the NEXT bounce's closest-hit batch
+            pend_mask=jnp.zeros((P,), bool),
+            pend_o=zero3,
+            pend_d=zero3,
+            pend_dist=jnp.zeros((P,), f32),
+            pend_contrib=zero3,
             iter=jnp.zeros((), jnp.int32),
+        )
+        fused = (
+            settings.fuse_shadow_rays
+            and settings.traversal_backend == "wide"
+            and not settings.geometry_axis
         )
 
         # Upper bound on loop trips: each iteration either consumes a bounce or
-        # a transparencyPass, and passes cap at maxBounces (Raytracing.metal:570).
-        max_iters = settings.max_bounces * (settings.max_bounces + 2) + 2
+        # a transparencyPass, and passes cap at maxBounces (Raytracing.metal:570);
+        # +1 trip to flush deferred shadow rays.
+        max_iters = settings.max_bounces * (settings.max_bounces + 2) + 3
 
         def cond(st):
-            return jnp.any(st["active"]) & (st["iter"] < max_iters)
+            live = jnp.any(st["active"]) | jnp.any(st["pend_mask"])
+            return live & (st["iter"] < max_iters)
 
         def body(st):
             active = st["active"]
             st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
             n_chunks = settings.traversal_chunks if P % max(settings.traversal_chunks, 1) == 0 else 1
-            if settings.traversal_backend == "cluster":
+            if fused:
+                # one mixed 2P batch: [next-bounce closest | deferred shadow]
+                batch = T.Rays(
+                    origin=jnp.concatenate([st["ray_o"], st["pend_o"]]),
+                    direction=jnp.concatenate([st["ray_d"], st["pend_d"]]),
+                    max_distance=jnp.concatenate(
+                        [jnp.full((P,), jnp.inf, f32), st["pend_dist"]]
+                    ),
+                )
+                shadow_lane = jnp.concatenate([jnp.zeros((P,), bool), jnp.ones((P,), bool)])
+                both_mask = jnp.concatenate([active, st["pend_mask"]])
+                n_chunks2 = 2 * n_chunks if (2 * P) % max(2 * n_chunks, 1) == 0 else 1
+                hits2, occ2 = wide.trace_mixed(
+                    bvh, batch, shadow_lane, mask=both_mask,
+                    chunks=n_chunks2, sort_rays=settings.sort_rays,
+                )
+                hits = T.Hits(
+                    t=hits2.t[:P], triangle=hits2.triangle[:P],
+                    u=hits2.u[:P], v=hits2.v[:P],
+                )
+                occluded_prev = occ2[P:]
+                # settle the deferred shadow contributions
+                st["accumulated"] = st["accumulated"] + jnp.where(
+                    (st["pend_mask"] & ~occluded_prev)[:, None], st["pend_contrib"], 0.0
+                )
+                st["pend_mask"] = jnp.zeros((P,), bool)
+            elif settings.traversal_backend == "cluster":
                 hits = cl.closest_hit(bvh, rays, mask=active, packet=settings.cluster_packet)
             else:
                 hits = wide.closest_hit(
@@ -513,18 +553,26 @@ def trace_tile(
                     max_distance=l_dist - 1e-3,
                 )
                 st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
-                if settings.traversal_backend == "cluster":
-                    occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
-                else:
-                    occluded = wide.any_hit(
-                        bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
-                    )
-                if settings.geometry_axis:
-                    occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
                 contrib = legacy_color * l_col * n_dot_l[:, None]
-                st["accumulated"] = st["accumulated"] + jnp.where(
-                    (need_shadow & ~occluded)[:, None], contrib, 0.0
-                )
+                if fused:
+                    # defer: traced with the next iteration's mixed batch
+                    st["pend_mask"] = need_shadow
+                    st["pend_o"] = shadow_rays.origin
+                    st["pend_d"] = shadow_rays.direction
+                    st["pend_dist"] = shadow_rays.max_distance
+                    st["pend_contrib"] = contrib
+                else:
+                    if settings.traversal_backend == "cluster":
+                        occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                    else:
+                        occluded = wide.any_hit(
+                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                        )
+                    if settings.geometry_axis:
+                        occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
+                    st["accumulated"] = st["accumulated"] + jnp.where(
+                        (need_shadow & ~occluded)[:, None], contrib, 0.0
+                    )
 
                 new_color = legacy_color * ao[:, None]
                 st["color"] = jnp.where(lit[:, None], new_color, st["color"])
@@ -565,17 +613,24 @@ def trace_tile(
                     max_distance=l_dist - 1e-3,
                 )
                 st["rays"] = st["rays"] + need_shadow.astype(jnp.int32)
-                if settings.traversal_backend == "cluster":
-                    occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                if fused:
+                    st["pend_mask"] = need_shadow
+                    st["pend_o"] = shadow_rays.origin
+                    st["pend_d"] = shadow_rays.direction
+                    st["pend_dist"] = shadow_rays.max_distance
+                    st["pend_contrib"] = st["color"] * direct
                 else:
-                    occluded = wide.any_hit(
-                        bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                    if settings.traversal_backend == "cluster":
+                        occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                    else:
+                        occluded = wide.any_hit(
+                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                        )
+                    if settings.geometry_axis:
+                        occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
+                    st["accumulated"] = st["accumulated"] + jnp.where(
+                        (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
                     )
-                if settings.geometry_axis:
-                    occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
-                st["accumulated"] = st["accumulated"] + jnp.where(
-                    (need_shadow & ~occluded)[:, None], st["color"] * direct, 0.0
-                )
 
                 # throughput: diffuse-only, AO on indirect (Raytracing.metal:746-748)
                 new_color = st["color"] * diffuse_color * ((1.0 - metallic) * ao)[:, None]
