@@ -203,10 +203,11 @@ class RenderSettings:
     traversal_backend: str = "wide"
     cluster_packet: int = 256
     # Fuse each bounce's next-ray (closest-hit) and the previous bounce's
-    # shadow rays (any-hit) into ONE mixed traversal call: halves per-call
-    # sort/permute overheads and merges the while-loop tails. Only used by
-    # the wide backend without geometry sharding.
-    fuse_shadow_rays: bool = True
+    # shadow rays (any-hit) into ONE mixed traversal call. Measured SLOWER
+    # end-to-end (0.88 vs 1.07 Mrays/s flagship: the pend-flush iteration and
+    # longer lane live-ranges outweigh the per-call savings) — kept off; see
+    # docs/PERF.md.
+    fuse_shadow_rays: bool = False
     # Geometry sharding (SURVEY §5.7): when set to a mesh axis name, each
     # chip's bvh argument is its LOCAL shard of the scene's BVH; per-bounce
     # hits are combined across the axis with min-t collectives. For BVHs
