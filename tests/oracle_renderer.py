@@ -80,13 +80,40 @@ def render_oracle(
     spp=1,
     max_bounces=2,
     frame_index=0,
+    opacity=None,  # (R,) or None (=1)
+    ior=None,  # (R,) or None (=1)
+    env_map=None,  # (He,We,3) or None
+    env_intensity=1.0,
+    legacy=False,
 ):
-    """One frame, PBR mode, no textures / opacity=1 / roughness=1 / metal=0
-    (untextured OBJ materials). Returns (H, W, 3) radiance."""
+    """One frame, no textures / roughness=1 / metal=0 (untextured OBJ
+    materials); glass branch, environment light, legacy mode supported.
+    Returns (H, W, 3) radiance."""
     v0 = verts_w[indices[:, 0]]
     v1 = verts_w[indices[:, 1]]
     v2 = verts_w[indices[:, 2]]
     n_lights = len(lights)
+    n_res = len(base_color)
+    if opacity is None:
+        opacity = np.ones(n_res)
+    if ior is None:
+        ior = np.ones(n_res)
+
+    def sample_env(d):
+        he, we = env_map.shape[0], env_map.shape[1]
+        ue = 0.5 + np.arctan2(d[2], d[0]) / (2 * np.pi)
+        ve = min(max(0.5 - np.arcsin(max(min(d[1], 1.0), -1.0)) / np.pi, 0.0), 1.0)
+        x = ue * we - 0.5
+        y = ve * he - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        xi0, xi1 = x0 % we, (x0 + 1) % we
+        yi0 = min(max(y0, 0), he - 1)
+        yi1 = min(max(y0 + 1, 0), he - 1)
+        top = env_map[yi0, xi0] * (1 - fx) + env_map[yi0, xi1] * fx
+        bot = env_map[yi1, xi0] * (1 - fx) + env_map[yi1, xi1] * fx
+        return (top * (1 - fy) + bot * fy) * env_intensity
+
     img = np.zeros((height, width, 3))
 
     for y in range(height):
@@ -107,9 +134,14 @@ def render_oracle(
                 acc = np.zeros(3)
                 bounce = 0
                 step = 0
-                while bounce < max_bounces:
+                tpasses = 0
+                guard = 0
+                while bounce < max_bounces and guard < 64:
+                    guard += 1
                     tri, t, bu, bv = _intersect_all(ro, rd, v0, v1, v2, 0.0, np.inf)
                     if tri < 0:
+                        if env_map is not None:
+                            acc = acc + color * sample_env(rd)
                         break
                     p = ro + rd * t
                     nrm_raw = _interp(normals_w, indices, tri, bu, bv)
@@ -119,6 +151,52 @@ def render_oracle(
                         nrm = _normalize(nrm_raw)
                     res = tri_resource[tri]
                     albedo = base_color[res]
+
+                    # glass / transparency branch (Raytracing.metal:517-576)
+                    op_c = min(max(opacity[res], 0.0), 1.0)
+                    ior_c = max(ior[res], 1.0)
+                    if op_c < 0.999 or ior_c > 1.01:
+                        N = nrm.copy()
+                        I = rd
+                        cosi = max(min(np.dot(-I, N), 1.0), -1.0)
+                        eta_i, eta_t = 1.0, ior_c
+                        if cosi < 0:
+                            cosi = -cosi
+                            N = -N
+                            eta_i, eta_t = eta_t, eta_i
+                        eta = eta_i / eta_t
+                        k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+                        f0 = ((eta_t - eta_i) / (eta_t + eta_i)) ** 2
+                        F = f0 + (1 - f0) * (1 - cosi) ** 5
+                        transmission = 1.0 - op_c
+                        rw = F
+                        tw = (1 - F) * transmission
+                        total_w = max(rw + tw, 1e-4)
+                        choice = halton_np(i_h, 2 + step * 6 + 5)
+                        if k < 0 or choice < rw / total_w:
+                            rdir = _normalize(I - 2 * np.dot(I, N) * N)
+                            ro = p + rdir * 1e-3
+                            rd = rdir
+                            color = color * total_w
+                            consume = True
+                        else:
+                            cost = np.sqrt(max(k, 0.0))
+                            rdir = _normalize(eta * I + (eta * cosi - cost) * N)
+                            ro = p + rdir * 1e-3
+                            rd = rdir
+                            color = color * total_w * albedo
+                            consume = False
+                        step += 1
+                        if consume:
+                            bounce += 1
+                            tpasses = 0
+                        else:
+                            tpasses += 1
+                            if tpasses > max_bounces:
+                                bounce += 1
+                                tpasses = 0
+                        continue
+
                     acc = acc + color * emission[res]
 
                     # pick 1 of N lights (dim 2 + step*6 + 0)
@@ -156,6 +234,29 @@ def render_oracle(
                         ldist = np.inf
                         lcol = L["color"]
                     lcol = lcol * n_lights
+
+                    if legacy:
+                        Ld = _normalize(ldir)
+                        ndl = max(min(np.dot(nrm, Ld), 1.0), 0.0)
+                        legacy_color = color * albedo
+                        if np.linalg.norm(legacy_color) < 0.001:
+                            break
+                        if np.linalg.norm(lcol) > 1e-4 and ndl > 0:
+                            so = p + nrm * 1e-3
+                            if not _any_hit(so, Ld if False else ldir, v0, v1, v2, 0.0, ldist - 1e-3):
+                                acc = acc + legacy_color * lcol * ndl
+                        color = legacy_color  # * ao with ao=1
+                        if np.linalg.norm(color) < 0.001:
+                            break
+                        rb0 = halton_np(i_h, 2 + step * 5 + 3)
+                        rb1 = halton_np(i_h, 2 + step * 5 + 4)
+                        bdir = _align(_sample_cosine(np.array([rb0, rb1])), nrm)
+                        ro = p + nrm * 1e-3
+                        rd = bdir
+                        step += 1
+                        bounce += 1
+                        tpasses = 0
+                        continue
 
                     if np.linalg.norm(lcol) > 1e-4:
                         # PBR direct (roughness=1, metallic=0 for untextured)

@@ -82,3 +82,103 @@ def test_wavefront_matches_independent_oracle():
 
     rel = I.relative_rmse(got, want)
     assert rel < 0.01, f"wavefront vs independent oracle relative RMSE {rel:.4f}"
+
+
+def _oracle_inputs(r):
+    data = r.scene_data
+    tfm = np.asarray(data.instance_transform)[np.asarray(data.vertex_instance)]
+    pos = np.asarray(data.positions_obj)
+    verts_w = np.einsum("vij,vj->vi", tfm[:, :3, :3], pos) + tfm[:, :3, 3]
+    normals_w = np.einsum("vij,vj->vi", tfm[:, :3, :3], np.asarray(data.normals_obj))
+    cam_j = r.current_camera()
+    camera = dict(
+        position=np.asarray(cam_j.position, np.float64),
+        right=np.asarray(cam_j.right, np.float64),
+        up=np.asarray(cam_j.up, np.float64),
+        forward=np.asarray(cam_j.forward, np.float64),
+    )
+    L = data.lights
+    lights = [
+        dict(
+            type=int(np.asarray(L.type)[i]),
+            position=np.asarray(L.position)[i].astype(np.float64),
+            color=np.asarray(L.color)[i].astype(np.float64),
+            forward=np.asarray(L.forward)[i].astype(np.float64),
+            right=np.asarray(L.right)[i].astype(np.float64),
+            up=np.asarray(L.up)[i].astype(np.float64),
+            cone_angle=float(np.asarray(L.cone_angle)[i]),
+            direction=np.asarray(L.direction)[i].astype(np.float64),
+        )
+        for i in range(L.type.shape[0])
+    ]
+    return data, camera, verts_w, normals_w, lights
+
+
+def _small_renderer(scene, size, **knobs):
+    r = Renderer(scene, output_width=size, output_height=size, seed=7)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = knobs.get("spp", 1)
+    r.max_bounces = knobs.get("bounces", 2)
+    r.use_motion_adaptive_sampling = False
+    if knobs.get("legacy"):
+        from mrt_tpu.core import types as T
+
+        r.shading_mode = T.SHADING_MODE_LEGACY
+    return r
+
+
+def test_glass_branch_matches_oracle():
+    from mrt_tpu.assets import procedural
+    from mrt_tpu.engine.scene import ModelMaterialOverride
+
+    size = 20
+    scene = Scene(width=size, height=size)
+    glass_sphere = Model(
+        "g", mesh=procedural.uv_sphere(6, 12), position=[0, 0.6, 0.8], scale=0.5,
+        material_override=ModelMaterialOverride.glass(),
+    )
+    scene.models = [
+        glass_sphere,
+        Model("back", mesh=procedural.uv_sphere(6, 12), position=[0, 0.5, -0.8], scale=0.5),
+        Model("plane", position=[0, 0, 0], scale=10),
+    ]
+    r = _small_renderer(scene, size, spp=2, bounces=2)
+    got = np.asarray(r.draw())
+
+    data, camera, verts_w, normals_w, lights = _oracle_inputs(r)
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=2, max_bounces=2, frame_index=0,
+        opacity=np.asarray(data.materials.opacity),
+        ior=np.asarray(data.materials.refraction_index),
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"glass branch vs oracle relative RMSE {rel:.4f}"
+
+
+def test_legacy_and_env_match_oracle():
+    from mrt_tpu.assets import hdr, procedural
+
+    size = 20
+    sky = hdr.procedural_sky(16, 32, sun_sharpness=30.0)
+    scene = Scene(width=size, height=size)
+    scene.models = [
+        Model("s", mesh=procedural.uv_sphere(6, 12), position=[0, 0.5, 0], scale=0.5),
+        Model("plane", position=[0, 0, 0], scale=10),
+    ]
+    scene.set_environment(sky, intensity=0.5)
+    r = _small_renderer(scene, size, spp=1, bounces=2, legacy=True)
+    got = np.asarray(r.draw())
+
+    data, camera, verts_w, normals_w, lights = _oracle_inputs(r)
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=1, max_bounces=2, frame_index=0,
+        env_map=np.asarray(sky, np.float64), env_intensity=0.5, legacy=True,
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"legacy+env vs oracle relative RMSE {rel:.4f}"
