@@ -248,13 +248,6 @@ def trace_tile(
             gb_rough=jnp.zeros((P,), f32),
             wrote_gb=jnp.zeros((P,), bool),
             rays=jnp.zeros((P,), jnp.int32),
-            # deferred shadow rays (fused-traversal mode): traced together
-            # with the NEXT bounce's closest-hit batch
-            pend_mask=jnp.zeros((P,), bool),
-            pend_o=zero3,
-            pend_d=zero3,
-            pend_dist=jnp.zeros((P,), f32),
-            pend_contrib=zero3,
             iter=jnp.zeros((), jnp.int32),
         )
         fused = (
@@ -262,14 +255,26 @@ def trace_tile(
             and settings.traversal_backend == "wide"
             and not settings.geometry_axis
         )
+        if fused:
+            # deferred shadow rays: traced together with the NEXT bounce's
+            # closest-hit batch
+            state.update(
+                pend_mask=jnp.zeros((P,), bool),
+                pend_o=zero3,
+                pend_d=zero3,
+                pend_dist=jnp.zeros((P,), f32),
+                pend_contrib=zero3,
+            )
 
         # Upper bound on loop trips: each iteration either consumes a bounce or
         # a transparencyPass, and passes cap at maxBounces (Raytracing.metal:570);
-        # +1 trip to flush deferred shadow rays.
-        max_iters = settings.max_bounces * (settings.max_bounces + 2) + 3
+        # fused mode adds one trip to flush deferred shadow rays.
+        max_iters = settings.max_bounces * (settings.max_bounces + 2) + (3 if fused else 2)
 
         def cond(st):
-            live = jnp.any(st["active"]) | jnp.any(st["pend_mask"])
+            live = jnp.any(st["active"])
+            if fused:
+                live = live | jnp.any(st["pend_mask"])
             return live & (st["iter"] < max_iters)
 
         def body(st):
