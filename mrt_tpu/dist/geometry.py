@@ -86,9 +86,27 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
     assert "gp" in mesh.shape, "mesh needs a 'gp' axis"
     settings = __import__("dataclasses").replace(settings, geometry_axis="gp")
 
-    def shard_fn(scene, bvh, uniforms, offsets, prev_accum, prev_motion):
+    def shard_fn(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
+                 skin_bundle, joint_matrices):
         # the sharded leading axis arrives as a size-1 block: squeeze it
         bvh = jax.tree.map(lambda x: x[0], bvh)
+        # replicated skinning (leaf_tri ids are global, so shard refit picks
+        # up the deformed pose automatically)
+        if statics.skin_slices:
+            from ..skinning import lbs
+
+            pos_obj = scene.positions_obj
+            nrm_obj = scene.normals_obj
+            for k, (_, start, _count) in enumerate(statics.skin_slices):
+                sp_pos, sp_nrm = lbs.skin(
+                    skin_bundle[k].weights_dense,
+                    joint_matrices[k],
+                    skin_bundle[k].rest_positions,
+                    skin_bundle[k].rest_normals,
+                )
+                pos_obj = jax.lax.dynamic_update_slice(pos_obj, sp_pos, (start, 0))
+                nrm_obj = jax.lax.dynamic_update_slice(nrm_obj, sp_nrm, (start, 0))
+            scene = scene._replace(positions_obj=pos_obj, normals_obj=nrm_obj)
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
         bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
@@ -99,8 +117,14 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("gp"), P(), P(), P(), P()),
+        in_specs=(P(), P("gp"), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(shard)
+
+    def step(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
+             skin_bundle=(), joint_matrices=()):
+        return shard(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
+                     skin_bundle, joint_matrices)
+
+    return jax.jit(step)
