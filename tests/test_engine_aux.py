@@ -140,3 +140,34 @@ def test_zoom_clamps_to_distance_limits():
     for _ in range(50):
         r.zoom(-5.0)
     assert r.camera_distance <= r.max_camera_distance
+
+
+def test_bench_schema():
+    """bench.py must keep printing the driver's JSON schema."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    r = bench.build_renderer(32, 32)
+    assert r.samples_per_pixel == 2 and r.max_bounces == 4
+    # the run helper returns (total_rays, seconds)
+    total, dt = bench.run(32, 32, 1)
+    assert total > 0 and dt > 0
+
+
+def test_graft_entry_single_chip():
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __graft_entry__ as g
+    import jax
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    accum = np.asarray(out[0])
+    assert accum.shape[-1] == 3 and np.isfinite(accum).all()
