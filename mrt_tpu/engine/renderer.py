@@ -48,6 +48,7 @@ _RESET_PROPS = {
     "render_scale",
     "upscaler_mode",
     "camera_fov_degrees",
+    "view_mode",  # Renderer.swift:928-932
 }
 
 UPSCALER_OFF = "off"
