@@ -26,10 +26,18 @@ def save(renderer, path: str) -> None:
         camera_distance=renderer.camera_distance,
         camera_fov_degrees=renderer.camera_fov_degrees,
         scene_time=renderer._scene_time,
+        last_skinning_update=(
+            renderer._last_skinning_update
+            if renderer._last_skinning_update is not None
+            else np.nan
+        ),
         skin_times=np.asarray(
             [renderer.scene.models[i].skin.current_time for i, _, _ in renderer.statics.skin_slices],
             np.float64,
         ),
+        # skinned pose buffers (motion vectors need the previous frame's pose)
+        positions_obj=np.asarray(renderer.scene_data.positions_obj),
+        prev_positions_obj=np.asarray(renderer.scene_data.prev_positions_obj),
         prev_camera=np.stack(
             [np.asarray(x) for x in renderer._previous_camera]
         )
@@ -65,6 +73,14 @@ def restore(renderer, path: str) -> None:
     renderer.camera_distance = float(z["camera_distance"])
     renderer.camera_fov_degrees = float(z["camera_fov_degrees"])
     renderer._scene_time = float(z["scene_time"])
+    lsu = float(z["last_skinning_update"]) if "last_skinning_update" in z else np.nan
+    renderer._last_skinning_update = None if np.isnan(lsu) else lsu
+    renderer._joint_matrices = ()  # recomputed from restored clip times
+    if "positions_obj" in z:
+        renderer.scene_data = renderer.scene_data._replace(
+            positions_obj=jnp.asarray(z["positions_obj"]),
+            prev_positions_obj=jnp.asarray(z["prev_positions_obj"]),
+        )
     for (i, _, _), t in zip(renderer.statics.skin_slices, z["skin_times"]):
         renderer.scene.models[i].skin.current_time = float(t)
     if z["prev_camera"].shape[0] == 4:

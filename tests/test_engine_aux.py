@@ -171,3 +171,29 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     accum = np.asarray(out[0])
     assert accum.shape[-1] == 3 and np.isfinite(accum).all()
+
+
+def test_checkpoint_roundtrip_animated(tmp_path):
+    """Resume of an ANIMATED scene must be bit-identical: clip times, the 60Hz
+    throttle clock, and the skinned pose buffers are all part of the state."""
+    from mrt_tpu.engine.renderer import Renderer as R2
+    from mrt_tpu import make_app_scene
+
+    def build():
+        r = R2(make_app_scene(width=32, height=32), output_width=32, output_height=32)
+        r.upscaler_mode = "off"
+        r.samples_per_pixel = 1
+        r.max_bounces = 1
+        r.use_motion_adaptive_sampling = False
+        return r
+
+    ra = build()
+    for _ in range(4):
+        ra.draw(1 / 30)
+    p = str(tmp_path / "anim.npz")
+    checkpoint.save(ra, p)
+    rb = build()
+    checkpoint.restore(rb, p)
+    x = np.asarray(ra.draw(1 / 30))
+    y = np.asarray(rb.draw(1 / 30))
+    np.testing.assert_allclose(x, y, atol=1e-6)
