@@ -140,3 +140,31 @@ def test_geometry_sharded_matches_single_chip():
         jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w, 2), jnp.float32),
     )
     np.testing.assert_allclose(np.asarray(accum), single, atol=1e-5)
+
+
+def test_gp_shard_builder_invariants():
+    from mrt_tpu.bvh import wide
+    from mrt_tpu.dist import geometry as G
+
+    rng = np.random.default_rng(9)
+    n = 1000
+    base = (rng.random((n, 3)) * 2 - 1) * 3
+    v0 = (base + rng.random((n, 3)) * 0.1).astype(np.float32)
+    v1 = (base + rng.random((n, 3)) * 0.1).astype(np.float32)
+    v2 = (base + rng.random((n, 3)) * 0.1).astype(np.float32)
+    stacked, shards = G.build_sharded_bvhs(v0, v1, v2, 4)
+
+    # exact partition of triangle ids
+    all_ids = np.concatenate(shards)
+    assert sorted(all_ids.tolist()) == list(range(n))
+    # equalized shapes stack along the leading axis
+    assert stacked.table.shape[0] == 4
+    assert stacked.node_child.shape[0] == 4
+    # every leaf id is a valid GLOBAL triangle id or padding
+    leaves = np.asarray(stacked.leaf_tri)
+    valid = leaves[leaves >= 0]
+    assert valid.min() >= 0 and valid.max() < n
+    # each shard's leaf ids come only from that shard's partition
+    for k in range(4):
+        shard_leaves = set(leaves[k][leaves[k] >= 0].tolist())
+        assert shard_leaves <= set(shards[k].tolist())
