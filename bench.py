@@ -59,32 +59,40 @@ def main():
     width, height, frames = 1920, 1080, 3
     if "--quick" in sys.argv:
         width, height, frames = 512, 512, 2
+    fallback_reason = None
     try:
         total_rays, dt = run(width, height, frames)
-    except Exception:
-        # fall back to a smaller frame so the driver always gets a number
+    except Exception as e:
+        # Fall back to a smaller frame so the driver still gets a number —
+        # but LOUDLY: a top-level "fallback" field + stderr traceback, so a
+        # flagship regression can't masquerade as a success.
+        import traceback
+
+        traceback.print_exc()
+        fallback_reason = f"{type(e).__name__}: {e}"[:200]
         width, height, frames = 512, 512, 2
         total_rays, dt = run(width, height, frames)
     mrays = total_rays / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays/s",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 200.0, 5),
-                "detail": {
-                    "scene": "dragon-class blob + train/treefir/planes/spheres",
-                    "resolution": f"{width}x{height}",
-                    "spp": 2,
-                    "bounces": 4,
-                    "frames": frames,
-                    "total_rays": total_rays,
-                    "seconds": round(dt, 3),
-                },
-            }
-        )
-    )
+    out = {
+        "metric": "Mrays/s",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 5),
+        "fallback": fallback_reason is not None,
+        "detail": {
+            "scene": "dragon-class blob + train/treefir/planes/spheres",
+            "resolution": f"{width}x{height}",
+            "spp": 2,
+            "bounces": 4,
+            "frames": frames,
+            "total_rays": total_rays,
+            "seconds": round(dt, 3),
+        },
+    }
+    if fallback_reason is not None:
+        out["detail"]["fallback_reason"] = fallback_reason
+    print(json.dumps(out))
+    sys.exit(3 if fallback_reason is not None else 0)
 
 
 if __name__ == "__main__":

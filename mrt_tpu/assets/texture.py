@@ -117,8 +117,12 @@ class AtlasBuilder:
             src = maps.get(map_type)
             img = None
             if isinstance(src, str):
-                if src in self._by_path:
-                    rect = self._by_path[src]
+                # dedup key includes colorspace: the same file used as an
+                # sRGB map (baseColor/emission) and as a linear map packs
+                # DIFFERENT texels, so they must not share a rect
+                pkey = (src, map_type in _SRGB_MAPS)
+                if pkey in self._by_path:
+                    rect = self._by_path[pkey]
                     entry[map_type] = (rect, True)
                     continue
                 img = load_image(src)
@@ -134,7 +138,7 @@ class AtlasBuilder:
             x0, y0 = self._place(img)
             rect = (x0, y0, img.shape[1], img.shape[0])
             if isinstance(src, str):
-                self._by_path[src] = rect
+                self._by_path[(src, map_type in _SRGB_MAPS)] = rect
             entry[map_type] = (rect, True)
         self._resources.append(entry)
         return len(self._resources) - 1

@@ -469,13 +469,54 @@ def _sort_keys(wbvh: WideBVH, rays: Rays, live: jnp.ndarray) -> jnp.ndarray:
     return _sort_keys_generic(rays, live, bmin, bmax)
 
 
+def _prime_hits(rays: Rays, prime_tri, tri_rows, t_min):
+    """Test each lane's candidate triangle (its previous-frame/previous-sample
+    hit or occluder) with ONE row gather. Returns (t, u, v, hit) — a valid
+    hit seeds best_t (tightening closest-hit culling from step 0) or retires
+    any-hit lanes outright. Pure optimization: candidates are re-tested, so
+    results are bit-identical to an unprimed traversal's final answer for
+    closest-hit, and any-hit truth is order-independent."""
+    tid = jnp.maximum(prime_tri, 0)
+    row = jnp.take(tri_rows, tid, axis=0)  # (R, >=9): [v0 v1 v2 ...]
+    hit, t, u, v = _mt_one(row, rays.origin, rays.direction, t_min, rays.max_distance)
+    ok = hit & (prime_tri >= 0)
+    return jnp.where(ok, t, jnp.inf), u, v, ok
+
+
+def _mt_one(row, o, d, t_min, t_max):
+    """Scalar Möller–Trumbore against one packed [v0x..v2z] row per lane."""
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6] - v0
+    e2 = row[:, 6:9] - v0
+    p = jnp.cross(d, e2)
+    det = jnp.sum(e1 * p, axis=1)
+    valid = jnp.abs(det) > 1e-9
+    inv = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+    tv = o - v0
+    u = jnp.sum(tv * p, axis=1) * inv
+    q = jnp.cross(tv, e1)
+    v = jnp.sum(d * q, axis=1) * inv
+    t = jnp.sum(e2 * q, axis=1) * inv
+    hit = valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= t_min) & (t <= t_max)
+    return hit, t, u, v
+
+
 def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
-              chunks: int = 1, sort_rays: bool = False, shadow=None):
+              chunks: int = 1, sort_rays: bool = False, shadow=None,
+              profile: bool = False, prime_tri=None, tri_rows=None):
     """Chunked, optionally sorted traversal wrapper around the core loop.
 
     ``shadow``: optional (R,) bool — per-lane any-hit mode (shadow lanes
     retire on first hit; others run closest-hit), enabling MIXED batches
-    that fuse the next-bounce and shadow traversals into one call."""
+    that fuse the next-bounce and shadow traversals into one call.
+
+    ``prime_tri``/``tri_rows``: optional (R,) candidate triangle ids (-1 =
+    none) + (T,>=9) packed world-vert rows. See _prime_hits.
+
+    ``profile``: adds two per-lane counters to the result — ``pops`` (rows
+    this lane actually consumed) and ``iters`` (its chunk's while-loop trip
+    count = rows its lane PAID for). sum(iters)/sum(pops) is the tail-waste
+    factor of the chunked execution."""
     n_rays = rays.origin.shape[0]
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
     if shadow is None:
@@ -491,15 +532,34 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
         )
         mask = jnp.take(live0, perm, axis=0)
         shadow = jnp.take(shadow, perm, axis=0)
+        if prime_tri is not None:
+            prime_tri = jnp.take(prime_tri, perm, axis=0)
+
+    init = None
+    if prime_tri is not None and tri_rows is not None:
+        m = mask if mask is not None else jnp.ones((n_rays,), bool)
+        pt, pu, pv, pok = _prime_hits(rays, jnp.where(m, prime_tri, -1), tri_rows, t_min)
+        init = dict(
+            best_t=jnp.minimum(jnp.asarray(rays.max_distance, jnp.float32), pt),
+            best_tri=jnp.where(pok, prime_tri, -1),
+            best_u=jnp.where(pok, pu, 0.0),
+            best_v=jnp.where(pok, pv, 0.0),
+            found=pok,
+        )
 
     if chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
 
         def chunk_fn(args):
-            r_o, r_d, r_m, m, sh = args
-            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, m, sh)
+            r_o, r_d, r_m, m, sh, ini = args
+            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, m, sh, profile, ini)
 
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
+        init_c = (
+            {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
+            if init is not None
+            else None
+        )
         st = jax.lax.map(
             chunk_fn,
             (
@@ -508,11 +568,12 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
                 rays.max_distance.reshape(chunks, rc),
                 m.reshape(chunks, rc),
                 shadow.reshape(chunks, rc),
+                init_c,
             ),
         )
         st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
     else:
-        st = _traverse_flat(wbvh, rays, t_min, mask, shadow)
+        st = _traverse_flat(wbvh, rays, t_min, mask, shadow, profile, init)
 
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
@@ -520,7 +581,8 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
     return st
 
 
-def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow):
+def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
+                   init=None):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -544,6 +606,14 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow):
         best_v=jnp.zeros((n_rays,), jnp.float32),
         found=jnp.zeros((n_rays,), bool),
     )
+    if init is not None:
+        # primed best-hit seed (see _prime_hits); any-hit lanes whose
+        # candidate already occludes skip traversal entirely
+        state.update(init)
+        state["sp"] = jnp.where(init["found"] & shadow, 0, state["sp"])
+    if profile:
+        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
+        state["iters"] = jnp.zeros((n_rays,), jnp.int32)
 
     def cond(st):
         live = (st["sp"] > 0) & ~(st["found"] & shadow)
@@ -558,6 +628,9 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow):
         entry = jnp.sum(jnp.where(top_oh, st["stack"], 0), axis=1)
         entry = jnp.where(active, entry, 0)
         sp = jnp.where(active, sp - 1, sp)
+        if profile:
+            st["pops"] = st["pops"] + active.astype(jnp.int32)
+            st["iters"] = st["iters"] + 1
 
         row = jnp.take(table, entry, axis=0)  # (R, 64) THE gather
         is_leaf = entry >= n_i
@@ -602,14 +675,20 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow):
         return st
 
     st = jax.lax.while_loop(cond, body, state)
-    return {k: st[k] for k in ("best_t", "best_tri", "best_u", "best_v", "found")}
+    keys = ("best_t", "best_tri", "best_u", "best_v", "found")
+    if profile:
+        keys = keys + ("pops", "iters")
+    return {k: st[k] for k in keys}
 
 
 def closest_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
-    chunks: int = 1, sort_rays: bool = False,
+    chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
 ) -> Hits:
-    st = _traverse(wbvh, rays, t_min, any_hit_mode=False, mask=mask, chunks=chunks, sort_rays=sort_rays)
+    st = _traverse(
+        wbvh, rays, t_min, any_hit_mode=False, mask=mask, chunks=chunks,
+        sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
+    )
     found = st["best_tri"] >= 0
     return Hits(
         t=jnp.where(found, st["best_t"], jnp.inf),
@@ -644,7 +723,19 @@ def trace_mixed(
 
 def any_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
-    chunks: int = 1, sort_rays: bool = False,
-) -> jnp.ndarray:
-    st = _traverse(wbvh, rays, t_min, any_hit_mode=True, mask=mask, chunks=chunks, sort_rays=sort_rays)
+    chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
+    return_tri: bool = False,
+):
+    """Occlusion query. With prime_tri/tri_rows, lanes whose cached occluder
+    still blocks retire after ONE row gather (shadow caching — the dominant
+    shadow-ray cost saver under temporal/sample coherence).
+
+    return_tri=True additionally returns the blocking triangle's id (-1 if
+    unoccluded) so callers can maintain the occluder cache."""
+    st = _traverse(
+        wbvh, rays, t_min, any_hit_mode=True, mask=mask, chunks=chunks,
+        sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
+    )
+    if return_tri:
+        return st["found"], jnp.where(st["found"], st["best_tri"], -1)
     return st["found"]

@@ -16,6 +16,17 @@ def save(renderer, path: str) -> None:
     """Write the renderer's resumable state to an .npz file."""
     state = dict(
         version=FORMAT_VERSION,
+        # scene fingerprint: restore() refuses checkpoints from a different
+        # scene instead of silently truncating skin clocks / failing later
+        # with opaque shape errors
+        scene_fingerprint=np.asarray(
+            [
+                renderer.scene_data.positions_obj.shape[0],
+                renderer.scene_data.indices.shape[0],
+                len(renderer.statics.skin_slices),
+            ],
+            np.int64,
+        ),
         accum=np.asarray(renderer.accum),
         motion=np.asarray(renderer.motion),
         depth=np.asarray(renderer.depth),
@@ -62,6 +73,18 @@ def restore(renderer, path: str) -> None:
         raise ValueError(
             f"checkpoint resolution {z['accum'].shape} != renderer {expected}"
         )
+    if "scene_fingerprint" in z:
+        fp = tuple(int(x) for x in z["scene_fingerprint"])
+        here = (
+            int(renderer.scene_data.positions_obj.shape[0]),
+            int(renderer.scene_data.indices.shape[0]),
+            len(renderer.statics.skin_slices),
+        )
+        if fp != here:
+            raise ValueError(
+                f"checkpoint scene fingerprint {fp} (n_vertices, n_triangles, "
+                f"n_skinned) != renderer scene {here}"
+            )
     if renderer._state_size != expected[:2]:
         renderer._allocate_state()  # settings changed since init; size up first
     renderer.accum = jnp.asarray(z["accum"])

@@ -237,9 +237,21 @@ class Renderer:
         if getattr(self, "_initialized", False):
             if name in _RESET_PROPS:
                 object.__setattr__(self, "frame_index", 0)
+                self._clear_presenter_history()
+            if name == "frame_index" and value == 0:
+                # direct resets (orbit/zoom/presets) also invalidate the
+                # presenter's output-res history — stale history ghosts
+                self._clear_presenter_history()
             if name == "traversal_backend" and changed:
                 self._build_bvh()
                 object.__setattr__(self, "frame_index", 0)
+                self._clear_presenter_history()
+
+    def _clear_presenter_history(self):
+        """Drop output-res upscale history + denoiser temporal state; they
+        are rebuilt from scratch on the next present()."""
+        object.__setattr__(self, "_upscale_history", None)
+        object.__setattr__(self, "_denoise_state", None)
 
     # -- sizes -------------------------------------------------------------------
     @property

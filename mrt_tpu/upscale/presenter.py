@@ -3,7 +3,14 @@ protocol + full-screen blit (FramePresenter.swift:528-547, Shaders.metal:30-52).
 
 There is no swapchain on TPU: "present" = produce a uint8 image (PNG/stream).
 The scaler priority chain denoised > temporal > spatial mirrors
-FramePresenter.swift:381-403.
+FramePresenter.swift:381-403. The denoised chain is SVGF-lite at render res
+(denoise.py) feeding the temporal upscaler — the single-object analog of
+``MTLFXTemporalDenoisedScaler`` (FramePresenter.swift:302-363).
+
+History lifecycle: the renderer clears ``_upscale_history`` and
+``_denoise_state`` whenever accumulation restarts (``frame_index = 0``), so a
+camera orbit or knob change cannot ghost stale output-res history into the
+new view — the didSet reset idiom extended to presenter state.
 """
 
 from __future__ import annotations
@@ -15,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kernels.present import tonemap_quantize
-from . import spatial, temporal
+from . import denoise, spatial, temporal
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -32,6 +39,16 @@ def _present_temporal(color, depth, motion, history, history_weight, out_h, out_
     return tonemap_quantize(up), new_history
 
 
+@partial(jax.jit, static_argnums=(7, 8))
+def _present_denoised(color, gbuffer, depth, motion, dstate, history, history_weight,
+                      out_h, out_w):
+    den, new_dstate = denoise.svgf_filter(color, gbuffer, depth, motion, dstate)
+    up, new_history = temporal.temporal_upscale(
+        den, depth, motion, history, out_h, out_w, history_weight=history_weight
+    )
+    return tonemap_quantize(up), new_history, new_dstate
+
+
 def present(renderer) -> np.ndarray:
     """Tonemapped uint8 RGB at output resolution. Rows are flipped so row 0 is
     the top of the image (the render buffer is in texture order: row 0 has
@@ -43,18 +60,29 @@ def present(renderer) -> np.ndarray:
 
     if mode in (R.UPSCALER_TEMPORAL, R.UPSCALER_DENOISED):
         color = renderer.accum
-        if mode == R.UPSCALER_DENOISED and renderer.gbuffer is not None:
-            from . import denoise
-
-            color = denoise.demodulate_filter(color, renderer.gbuffer)
         history = getattr(renderer, "_upscale_history", None)
-        fresh = history is None or history.shape != (out_h, out_w, 3)
+        fresh = history is None or history.shape != (out_h, out_w, 4)
         if fresh:
-            history = jnp.zeros((out_h, out_w, 3), jnp.float32)
-        weight = jnp.asarray(0.0 if fresh else 0.9, jnp.float32)
-        img, new_history = _present_temporal(
-            color, renderer.depth, renderer.motion, history, weight, out_h, out_w
+            history = jnp.zeros((out_h, out_w, 4), jnp.float32)
+        # first frame after a reset contributes fully; afterwards the blend
+        # follows the renderer's accumulation weight (Renderer.swift:117)
+        weight = jnp.asarray(
+            0.0 if fresh else float(renderer.accumulation_weight), jnp.float32
         )
+        if mode == R.UPSCALER_DENOISED and renderer.gbuffer is not None:
+            h, w = color.shape[0], color.shape[1]
+            dstate = getattr(renderer, "_denoise_state", None)
+            if dstate is None or dstate.demod.shape != (h, w, 3):
+                dstate = denoise.init_state(h, w)
+            img, new_history, new_dstate = _present_denoised(
+                color, renderer.gbuffer, renderer.depth, renderer.motion,
+                dstate, history, weight, out_h, out_w,
+            )
+            object.__setattr__(renderer, "_denoise_state", new_dstate)
+        else:
+            img, new_history = _present_temporal(
+                color, renderer.depth, renderer.motion, history, weight, out_h, out_w
+            )
         object.__setattr__(renderer, "_upscale_history", new_history)
     else:
         img = _present_spatial(renderer.accum, out_h, out_w, "lanczos3")

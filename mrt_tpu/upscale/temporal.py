@@ -46,21 +46,29 @@ def temporal_upscale(
     color: jnp.ndarray,  # (h,w,3) render-res radiance
     depth: jnp.ndarray,  # (h,w)
     motion: jnp.ndarray,  # (h,w,2) pixels at render res, +Y down (display)
-    history: jnp.ndarray,  # (H,W,3) output-res accumulated history
+    history: jnp.ndarray,  # (H,W,4) output-res history: rgb + depth
     out_h: int,
     out_w: int,
     history_weight=0.9,  # scalar; pass 0.0 on the first frame / history reset
 ):
-    """Returns (output (H,W,3), new_history (H,W,3))."""
+    """Returns (output (H,W,3), new_history (H,W,4)).
+
+    History carries last frame's depth so reprojection can reject
+    disocclusions: a history texel whose stored depth disagrees with the
+    current surface is stale background/foreground, not the same surface —
+    the role of the ``depthTexture`` input MetalFX declares for its temporal
+    scalers (FramePresenter.swift:189,205,319-337).
+    """
     h, w = color.shape[0], color.shape[1]
     sy = out_h / h
     sx = out_w / w
 
-    # Upsample current color + motion to output res (bilinear).
+    # Upsample current color + depth + motion to output res (bilinear).
     rows = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / sy - 0.5
     cols = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / sx - 0.5
     rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
     cur, _ = _bilinear_sample(color, rr, cc)
+    dep, _ = _bilinear_sample(depth[..., None], rr, cc)
     mot, _ = _bilinear_sample(motion, rr, cc)
     mot = mot * jnp.asarray([sx, sy], jnp.float32)  # motion in output pixels
 
@@ -69,9 +77,16 @@ def temporal_upscale(
     out_cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
     prev_r = out_rows + mot[..., 1]
     prev_c = out_cols - mot[..., 0]
-    hist, valid = _bilinear_sample(history, prev_r, prev_c)
+    hist4, valid = _bilinear_sample(history, prev_r, prev_c)
+    hist = hist4[..., :3]
+    hist_depth = hist4[..., 3:4]
 
-    # Neighborhood clamp (3x3 min/max of current) suppresses ghosting.
+    # Depth disocclusion: reject history whose stored depth disagrees with
+    # the current surface by more than 10% (relative; both are view-space
+    # distances from the primary-hit depth target, Raytracing.metal:355).
+    depth_ok = jnp.abs(hist_depth - dep) <= 0.1 * jnp.maximum(dep, 1e-3)
+
+    # Neighborhood clamp (3x3 min/max of current) suppresses residual ghosting.
     pad = jnp.pad(cur, ((1, 1), (1, 1), (0, 0)), mode="edge")
     stack = jnp.stack(
         [pad[dr : dr + out_h, dc : dc + out_w] for dr in range(3) for dc in range(3)]
@@ -83,6 +98,6 @@ def temporal_upscale(
     # Motion-aware blend: fast motion trusts current frame more.
     mag = jnp.linalg.norm(mot, axis=-1, keepdims=True)
     weight = history_weight * jnp.clip(1.0 - mag / 16.0, 0.25, 1.0)
-    weight = jnp.where(valid[..., None], weight, 0.0)
+    weight = jnp.where(valid[..., None] & depth_ok, weight, 0.0)
     out = cur + (hist - cur) * weight
-    return out, out
+    return out, jnp.concatenate([out, dep], axis=-1)

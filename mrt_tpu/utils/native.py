@@ -36,7 +36,9 @@ def _load():
                 timeout=300,
             )
         lib = ctypes.CDLL(str(_SO))
-        lib.mrt_build_wide_bvh.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.mrt_build_wide_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.mrt_build_wide_bvh.restype = ctypes.c_int
         lib.mrt_wide_n_internal.restype = ctypes.c_int32
         lib.mrt_wide_n_leaves.restype = ctypes.c_int32
@@ -57,21 +59,27 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_wide_bvh_sah(tri_verts: np.ndarray):
+def build_wide_bvh_sah(tri_verts: np.ndarray, arity: int | None = None, leaf_k: int | None = None):
     """Binned-SAH wide topology. tri_verts: (T, 9) f32 [v0 v1 v2].
 
-    Returns (node_child (Ni,8) int32, leaf_tri (Nl,4) int32, depth) or None
-    if the native library is unavailable.
+    Returns (node_child (Ni,ARITY) int32, leaf_tri (Nl,LEAF_K) int32, depth)
+    or None if the native library is unavailable. arity/leaf_k default to
+    bvh.wide's tuned ARITY/LEAF_K.
     """
     lib = _load()
     if lib is None:
         return None
+    from ..bvh.wide import ARITY as _A, LEAF_K as _L
+
+    ARITY = _A if arity is None else arity
+    LEAF_K = _L if leaf_k is None else leaf_k
     tv = np.ascontiguousarray(tri_verts, np.float32)
     n = tv.shape[0]
-    rc = lib.mrt_build_wide_bvh(tv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    rc = lib.mrt_build_wide_bvh(
+        tv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, ARITY, LEAF_K
+    )
     if rc != 0:
         return None
-    from ..bvh.wide import ARITY, LEAF_K
 
     ni = int(lib.mrt_wide_n_internal())
     nl = int(lib.mrt_wide_n_leaves())

@@ -4,9 +4,10 @@
 // accelerated builder (Utilities.swift:37-290). Our TPU design builds
 // topology on the host and refits AABBs on device; this library provides the
 // production host builder: a binned-SAH top-down constructor emitting the
-// same wide (8-ary, 4-triangle-leaf) topology arrays the JAX side consumes
-// (mrt_tpu/bvh/wide.py), with measurably better tree quality than the Morton
-// LBVH fallback (fewer node visits per ray = fewer gather rounds on TPU).
+// wide (arity-ary, leaf_k-triangle-leaf — both caller parameters, matching
+// mrt_tpu/bvh/wide.py's ARITY/LEAF_K) topology arrays the JAX side consumes,
+// with measurably better tree quality than the Morton LBVH fallback (fewer
+// node visits per ray = fewer gather rounds on TPU).
 //
 // C ABI, consumed via ctypes (no pybind11 in the image).
 //
@@ -22,8 +23,6 @@
 
 namespace {
 
-constexpr int ARITY = 12;
-constexpr int LEAF_K = 8;
 constexpr int NBINS = 16;
 
 struct AABB {
@@ -58,6 +57,7 @@ struct BinNode {
 struct Builder {
   const float* verts;  // (T, 9)
   int n_tris;
+  int leaf_k;
   std::vector<AABB> tri_bounds;
   std::vector<float> centroids;  // (T, 3)
   std::vector<int> order;        // permuted tri ids
@@ -72,7 +72,7 @@ struct Builder {
       node.bounds.grow(tri_bounds[order[i]]);
       cb.grow(&centroids[3 * order[i]]);
     }
-    if (count <= LEAF_K) {
+    if (count <= leaf_k) {
       nodes.push_back(node);
       return (int)nodes.size() - 1;
     }
@@ -156,11 +156,14 @@ static thread_local std::vector<int32_t> g_child;
 static thread_local std::vector<int32_t> g_leaf;
 static thread_local int32_t g_ni = 0, g_nl = 0, g_depth = 0;
 
-int mrt_build_wide_bvh(const float* verts, int n_tris) {
-  if (n_tris <= 0) return 1;
+int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
+  if (n_tris <= 0 || arity < 2 || leaf_k < 1) return 1;
+  const int ARITY = arity;
+  const int LEAF_K = leaf_k;
   Builder b;
   b.verts = verts;
   b.n_tris = n_tris;
+  b.leaf_k = leaf_k;
   b.tri_bounds.resize(n_tris);
   b.centroids.resize(3 * n_tris);
   b.order.resize(n_tris);
@@ -176,15 +179,14 @@ int mrt_build_wide_bvh(const float* verts, int n_tris) {
   b.nodes.reserve(2 * n_tris);
   int root = b.build_binary(0, n_tris);
 
-  // collapse binary -> 8-ary with 4-tri leaves
+  // collapse binary -> ARITY-ary with LEAF_K-tri leaves
   std::vector<std::vector<int>> node_child;  // >=0: internal idx, <0: -(leaf idx)-1
-  std::vector<std::array<int32_t, LEAF_K>> leaves;
+  std::vector<std::vector<int32_t>> leaves;
 
   auto make_leaf = [&](const BinNode& n) {
-    std::array<int32_t, LEAF_K> row;
-    row.fill(-1);
+    std::vector<int32_t> row((size_t)LEAF_K, -1);
     for (int i = 0; i < n.count && i < LEAF_K; ++i) row[i] = b.order[n.start + i];
-    leaves.push_back(row);
+    leaves.push_back(std::move(row));
     return -(int)leaves.size();  // -(idx)-1
   };
 
@@ -195,7 +197,7 @@ int mrt_build_wide_bvh(const float* verts, int n_tris) {
   std::vector<Work> work;
   if (b.nodes[root].left < 0) {
     // root is a leaf
-    node_child.push_back({make_leaf(b.nodes[root])});
+    node_child.push_back(std::vector<int>{make_leaf(b.nodes[root])});
   } else {
     node_child.push_back({});
     work.push_back({0, root});
@@ -318,6 +320,11 @@ int mrt_obj_parse(const char* text, int64_t len) {
     if (v > 0) v -= 1; else v = (int)vs.size() + v;
     if (t > 0) t -= 1; else if (t < 0) t = (int)vts.size() + t; else t = -1;
     if (n > 0) n -= 1; else if (n < 0) n = (int)vns.size() + n; else n = -1;
+    // malformed/truncated OBJ: out-of-range references are a recoverable
+    // error (caller falls back to the pure-NumPy parser), not UB
+    if (v < 0 || v >= (int)vs.size()) return -1;
+    if (t >= (int)vts.size()) t = -1;
+    if (n >= (int)vns.size()) n = -1;
     Key k{v, t, n};
     size_t h = KeyHash{}(k) & (cap - 1);
     while (map_table[h].second >= 0) {
@@ -385,7 +392,9 @@ int mrt_obj_parse(const char* text, int64_t len) {
         }
         if (r == q) break;
         q = r;
-        ids[nids++] = corner((int)v, (int)t, (int)n);
+        int c = corner((int)v, (int)t, (int)n);
+        if (c < 0) return 2;  // out-of-range vertex reference
+        ids[nids++] = c;
       }
       for (int k = 1; k + 1 < nids; ++k) {
         g_idx.push_back(ids[0]);

@@ -183,6 +183,46 @@ def test_chunked_sorted_traversal_matches_flat():
     np.testing.assert_array_equal(np.asarray(f_any), np.asarray(c_any))
 
 
+def test_primed_traversal_matches_unprimed():
+    """Hit/occluder priming is a pure optimization: any mix of correct, stale,
+    and absent candidate triangles must leave closest-hit results identical
+    and any-hit truth identical."""
+    from mrt_tpu.bvh import wide
+
+    rng = np.random.default_rng(55)
+    v0, v1, v2 = random_tris(400, rng)
+    w = wide.build(v0, v1, v2, method="lbvh")
+    rays = random_rays(256, rng)
+    tri_rows = jnp.concatenate([jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2)], axis=1)
+
+    base = wide.closest_hit(w, rays, t_min=1e-4)
+    # candidates: the true hit for some lanes, random tris for others, -1 rest
+    true_tri = np.asarray(base.triangle)
+    cand = np.where(
+        rng.random(256) < 0.4, true_tri,
+        np.where(rng.random(256) < 0.5, rng.integers(0, 400, 256), -1),
+    ).astype(np.int32)
+    primed = wide.closest_hit(
+        w, rays, t_min=1e-4, prime_tri=jnp.asarray(cand), tri_rows=tri_rows,
+        chunks=8, sort_rays=True,
+    )
+    np.testing.assert_array_equal(np.asarray(primed.triangle), true_tri)
+    m = true_tri >= 0
+    np.testing.assert_allclose(np.asarray(primed.t)[m], np.asarray(base.t)[m], rtol=1e-6)
+
+    capped = rays._replace(max_distance=jnp.full_like(rays.max_distance, 5.0))
+    occ_base = np.asarray(wide.any_hit(w, capped, t_min=1e-4))
+    occ_primed, occ_tri = wide.any_hit(
+        w, capped, t_min=1e-4, prime_tri=jnp.asarray(cand), tri_rows=tri_rows,
+        return_tri=True, chunks=8, sort_rays=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ_primed), occ_base)
+    # reported occluder must really block (whatever tri it is)
+    ot = np.asarray(occ_tri)
+    assert (ot[np.asarray(occ_primed)] >= 0).all()
+    assert (ot[~np.asarray(occ_primed)] == -1).all()
+
+
 def test_native_sah_matches_lbvh_results():
     from mrt_tpu.bvh import wide
     from mrt_tpu.utils import native
