@@ -16,13 +16,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_renderer(width, height):
+def build_renderer(width, height, dragon_subdivisions=None):
     from mrt_tpu.engine.appscene import make_app_scene
     from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
 
     # static flagship scene (robot/skinning benchmarked separately in
     # scripts/bench_suite.py): dragon blob + train + treefir + planes + spheres
-    scene = make_app_scene(width=width, height=height, include_robot=False)
+    scene = make_app_scene(width=width, height=height, include_robot=False,
+                           dragon_subdivisions=dragon_subdivisions)
     r = Renderer(scene, output_width=width, output_height=height)
     r.upscaler_mode = UPSCALER_OFF  # measure raw tracing, not upscaler
     r.samples_per_pixel = 2
@@ -35,13 +36,19 @@ def build_renderer(width, height):
         r.traversal_chunks = int(os.environ["MRT_CHUNKS"])
     if os.environ.get("MRT_SORT"):
         r.sort_rays = os.environ["MRT_SORT"] == "1"
+    if os.environ.get("MRT_STREAM"):
+        r.traversal_stream = int(os.environ["MRT_STREAM"])
+    if os.environ.get("MRT_REFILL"):
+        r.stream_refill = int(os.environ["MRT_REFILL"])
+    if os.environ.get("MRT_PRIME"):
+        r.hit_priming = os.environ["MRT_PRIME"] == "1"
     return r
 
 
-def run(width, height, frames):
+def run(width, height, frames, dragon_subdivisions=None):
     import jax
 
-    r = build_renderer(width, height)
+    r = build_renderer(width, height, dragon_subdivisions)
     # warmup/compile
     r.draw()
     jax.block_until_ready(r.accum)
@@ -73,6 +80,23 @@ def main():
         width, height, frames = 512, 512, 2
         total_rays, dt = run(width, height, frames)
     mrays = total_rays / dt / 1e6
+
+    # real-dragon-scale sub-benchmark (~1.31M-tri blob, Stanford-dragon
+    # class): reported alongside the headline so table-size effects at
+    # production asset scale are visible (VERDICT round-1 missing #6)
+    dragon_1m = None
+    if "--quick" not in sys.argv and os.environ.get("MRT_SKIP_BIG") != "1":
+        try:
+            big_rays, big_dt = run(1024, 576, 2, dragon_subdivisions=8)
+            dragon_1m = {
+                "mrays_per_s": round(big_rays / big_dt / 1e6, 3),
+                "resolution": "1024x576",
+                "scene_tris": "~1.33M (dragon 1.31M)",
+                "frames": 2,
+            }
+        except Exception as e:
+            dragon_1m = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     out = {
         "metric": "Mrays/s",
         "value": round(mrays, 3),
@@ -91,6 +115,8 @@ def main():
     }
     if fallback_reason is not None:
         out["detail"]["fallback_reason"] = fallback_reason
+    if dragon_1m is not None:
+        out["detail"]["dragon_1m"] = dragon_1m
     print(json.dumps(out))
     sys.exit(3 if fallback_reason is not None else 0)
 

@@ -85,9 +85,8 @@ def box(size=(1.0, 1.0, 1.0), material=None) -> MeshData:
 
 def blob(subdivisions: int = 5, radius: float = 0.5, seed: int = 7, material=None) -> MeshData:
     """High-poly displaced icosphere — the "dragon-class" stand-in for the
-    missing dragon.obj (~870k tris at subdivisions=6; 5 -> ~20k, 6 -> ~82k...).
-
-    subdivisions=5 gives 20*4^5 = 20480 tris; 7 gives 327680.
+    missing dragon.obj. 20*4^s tris: s=5 -> 20480, 6 -> 81920, 7 -> 327680,
+    8 -> 1310720 (real Stanford-dragon scale is ~871k).
     """
     t = (1.0 + np.sqrt(5.0)) / 2.0
     verts = np.array(
@@ -108,7 +107,7 @@ def blob(subdivisions: int = 5, radius: float = 0.5, seed: int = 7, material=Non
         ],
         np.int64,
     )
-    for _ in range(subdivisions):
+    for level in range(min(subdivisions, 6)):
         edge_mid: dict = {}
         verts_list = verts.tolist()
 
@@ -128,6 +127,34 @@ def blob(subdivisions: int = 5, radius: float = 0.5, seed: int = 7, material=Non
             new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
         verts = np.asarray(verts_list)
         faces = np.asarray(new_faces, np.int64)
+
+    # levels past 6 (million-triangle scale) use a vectorized subdivision
+    # (np.unique over edges); kept separate so sub<=6 outputs stay
+    # bit-identical to the original implementation (golden stability)
+    for level in range(6, subdivisions):
+        a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+        F = faces.shape[0]
+        edges = np.concatenate(
+            [
+                np.sort(np.stack([a, b], 1), axis=1),
+                np.sort(np.stack([b, c], 1), axis=1),
+                np.sort(np.stack([c, a], 1), axis=1),
+            ]
+        )
+        uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+        mids = verts[uniq[:, 0]] + verts[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_idx = len(verts) + inv
+        ab, bc, ca = mid_idx[:F], mid_idx[F : 2 * F], mid_idx[2 * F :]
+        faces = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([b, bc, ab], 1),
+                np.stack([c, ca, bc], 1),
+                np.stack([ab, bc, ca], 1),
+            ]
+        ).astype(np.int64)
+        verts = np.vstack([verts, mids])
 
     # Smooth pseudo-random radial displacement (sum of low-frequency sines).
     rng = np.random.default_rng(seed)

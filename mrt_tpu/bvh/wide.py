@@ -386,10 +386,11 @@ def _slot_onehot(sp: jnp.ndarray, stack_depth: int) -> jnp.ndarray:
     return slots == jnp.clip(sp, 0, stack_depth - 1)[:, None]
 
 
-def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap):
-    """LEAF_K-wide Möller–Trumbore on a gathered leaf row. Component-wise on
-    (R, K) arrays (no reshapes — keeps everything in 2D vector registers)."""
-    K = LEAF_K
+def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap, K: int = LEAF_K):
+    """K-wide Möller–Trumbore on a gathered leaf row. Component-wise on
+    (R, K) arrays (no reshapes — keeps everything in 2D vector registers).
+    K=1 serves the candidate-priming test with the IDENTICAL expression
+    graph, so primed and unprimed results stay bit-equal."""
     v0x, v0y, v0z = row[:, 0:K], row[:, K:2*K], row[:, 2*K:3*K]
     v1x, v1y, v1z = row[:, 3*K:4*K], row[:, 4*K:5*K], row[:, 5*K:6*K]
     v2x, v2y, v2z = row[:, 6*K:7*K], row[:, 7*K:8*K], row[:, 8*K:9*K]
@@ -478,32 +479,21 @@ def _prime_hits(rays: Rays, prime_tri, tri_rows, t_min):
     closest-hit, and any-hit truth is order-independent."""
     tid = jnp.maximum(prime_tri, 0)
     row = jnp.take(tri_rows, tid, axis=0)  # (R, >=9): [v0 v1 v2 ...]
-    hit, t, u, v = _mt_one(row, rays.origin, rays.direction, t_min, rays.max_distance)
+    o, d = rays.origin, rays.direction
+    # K=1 layout [v0x v0y v0z v1x ... v2z] is exactly the row's first 9 cols
+    hit, t, u, v = _mt_leaf(
+        row, o[:, 0:1], o[:, 1:2], o[:, 2:3], d[:, 0:1], d[:, 1:2], d[:, 2:3],
+        t_min, rays.max_distance[:, None], K=1,
+    )
+    hit, t, u, v = hit[:, 0], t[:, 0], u[:, 0], v[:, 0]
     ok = hit & (prime_tri >= 0)
     return jnp.where(ok, t, jnp.inf), u, v, ok
 
 
-def _mt_one(row, o, d, t_min, t_max):
-    """Scalar Möller–Trumbore against one packed [v0x..v2z] row per lane."""
-    v0 = row[:, 0:3]
-    e1 = row[:, 3:6] - v0
-    e2 = row[:, 6:9] - v0
-    p = jnp.cross(d, e2)
-    det = jnp.sum(e1 * p, axis=1)
-    valid = jnp.abs(det) > 1e-9
-    inv = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
-    tv = o - v0
-    u = jnp.sum(tv * p, axis=1) * inv
-    q = jnp.cross(tv, e1)
-    v = jnp.sum(d * q, axis=1) * inv
-    t = jnp.sum(e2 * q, axis=1) * inv
-    hit = valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= t_min) & (t <= t_max)
-    return hit, t, u, v
-
-
 def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
               chunks: int = 1, sort_rays: bool = False, shadow=None,
-              profile: bool = False, prime_tri=None, tri_rows=None):
+              profile: bool = False, prime_tri=None, tri_rows=None,
+              stream_window: int = 0, refill_every: int = 8):
     """Chunked, optionally sorted traversal wrapper around the core loop.
 
     ``shadow``: optional (R,) bool — per-lane any-hit mode (shadow lanes
@@ -547,7 +537,13 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
             found=pok,
         )
 
-    if chunks > 1 and n_rays % chunks == 0:
+    if stream_window > 0:
+        st = _traverse_stream(
+            wbvh, rays, t_min, mask, shadow, init,
+            window=stream_window, refill_every=refill_every, profile=profile,
+            dead_last=sort_rays,  # sorted pools put masked-off rays last
+        )
+    elif chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
 
         def chunk_fn(args):
@@ -681,13 +677,258 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     return {k: st[k] for k in keys}
 
 
+def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
+                     window: int, refill_every: int, profile: bool = False,
+                     dead_last: bool = False):
+    """Streaming wavefront traversal: a fixed WINDOW of lanes walks the BVH;
+    every ``refill_every`` steps, retired lanes write their results back and
+    load fresh rays from the (coherence-sorted) pool.
+
+    Why: the chunked while_loop pays max-steps-per-chunk for every lane —
+    measured 3.4-9x more gather rows than rays actually consume
+    (docs/PERF.md round 2). Refill keeps occupancy near 1, paying ~mean
+    steps + ~2 narrow gathers per ray for the load/store traffic.
+    """
+    n_rays = rays.origin.shape[0]
+    n_i = wbvh.n_internal
+    table = wbvh.table
+    W = min(window, n_rays)
+
+    live0 = jnp.ones((n_rays,), bool) if mask is None else mask
+
+    # pool of ray records: [o(3) d(3) maxd live shadow init_t init_tri init_u
+    # init_v init_found] — one narrow row gather loads a lane
+    f32 = jnp.float32
+    if init is None:
+        init = dict(
+            best_t=jnp.asarray(rays.max_distance, f32),
+            best_tri=jnp.full((n_rays,), -1, jnp.int32),
+            best_u=jnp.zeros((n_rays,), f32),
+            best_v=jnp.zeros((n_rays,), f32),
+            found=jnp.zeros((n_rays,), bool),
+        )
+    pool = jnp.concatenate(
+        [
+            rays.origin,
+            rays.direction,
+            init["best_t"][:, None],
+            _encode_ids(init["best_tri"])[:, None],
+            init["best_u"][:, None],
+            init["best_v"][:, None],
+            init["found"].astype(f32)[:, None],
+            live0.astype(f32)[:, None],
+            shadow.astype(f32)[:, None],
+        ],
+        axis=1,
+    )  # (R, 13)
+
+    # When the pool is coherence-sorted, dead (masked-off) rays sort to the
+    # END (see _sort_keys); capping refill at the live count means they never
+    # occupy window slots — the stream analog of all-dead chunks exiting
+    # instantly. Without that guarantee (dead_last=False) every pool entry
+    # must be loaded (dead lanes retire at their first refill).
+    n_live = jnp.sum(live0.astype(jnp.int32)) if dead_last else jnp.asarray(n_rays, jnp.int32)
+
+    n_out = 5
+
+    def load(pool_rows, ids):
+        """Unpack pool rows -> per-lane state dict pieces."""
+        o = pool_rows[:, 0:3]
+        d = pool_rows[:, 3:6]
+        best_t = pool_rows[:, 6]
+        best_tri = _decode_ids(pool_rows[:, 7])
+        best_u = pool_rows[:, 8]
+        best_v = pool_rows[:, 9]
+        found = pool_rows[:, 10] > 0.5
+        lv = pool_rows[:, 11] > 0.5
+        sh = pool_rows[:, 12] > 0.5
+        valid = ids < n_rays
+        # a lane starts live unless masked off, already-retired (primed
+        # any-hit), or out of pool range
+        sp = jnp.where(valid & lv & ~(found & sh), 1, 0).astype(jnp.int32)
+        return o, d, best_t, best_tri, best_u, best_v, found, sh, sp
+
+    ids0 = jnp.arange(W, dtype=jnp.int32)
+    o0, d0, bt0, btri0, bu0, bv0, f0, sh0, sp0 = load(
+        jnp.take(pool, jnp.minimum(ids0, n_rays - 1), axis=0), ids0
+    )
+
+    # out defaults = init values, so rays never loaded (masked-off rays in a
+    # dead_last pool) still report their primed/empty results
+    out0 = jnp.concatenate(
+        [
+            init["best_t"][:, None],
+            _encode_ids(init["best_tri"])[:, None],
+            init["best_u"][:, None],
+            init["best_v"][:, None],
+            init["found"].astype(f32)[:, None],
+        ],
+        axis=1,
+    )
+    state = dict(
+        ray_id=ids0,
+        o=o0, d=d0,
+        stack=jnp.zeros((W, STACK), jnp.int32),
+        sp=sp0,
+        best_t=bt0, best_tri=btri0, best_u=bu0, best_v=bv0, found=f0,
+        shadow=sh0,
+        next=jnp.asarray(W, jnp.int32),
+        out=out0,
+    )
+    if profile:
+        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
+        state["nsteps"] = jnp.zeros((), jnp.int32)
+        state["occupancy"] = jnp.zeros((), jnp.int32)  # sum of active lanes
+
+    def step(st):
+        active = st["sp"] > 0
+        sp = st["sp"]
+        top_oh = _slot_onehot(sp - 1, STACK)
+        entry = jnp.sum(jnp.where(top_oh, st["stack"], 0), axis=1)
+        entry = jnp.where(active, entry, 0)
+        sp = jnp.where(active, sp - 1, sp)
+        if profile:
+            st["pops"] = st["pops"].at[
+                jnp.where(active, st["ray_id"], n_rays)
+            ].add(1, mode="drop")
+            st["nsteps"] = st["nsteps"] + 1
+            st["occupancy"] = st["occupancy"] + jnp.sum(active.astype(jnp.int32))
+
+        row = jnp.take(table, entry, axis=0)
+        is_leaf = entry >= n_i
+        o, d = st["o"], st["d"]
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+        ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+        t_cap = st["best_t"]
+
+        l_hit, l_t, l_u, l_v = _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap[:, None])
+        lane_leaf = active & is_leaf
+        l_t_m = jnp.where(l_hit, l_t, jnp.inf)
+        jbest = jnp.argmin(l_t_m, axis=1)
+        ohK = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :] == jbest[:, None]
+        cand_t = jnp.sum(jnp.where(ohK, l_t_m, 0.0), axis=1)
+        cand_any = jnp.any(l_hit, axis=1)
+        idsK = _decode_ids(row[:, IDS_OFF : IDS_OFF + LEAF_K])
+        cand_tri = jnp.sum(jnp.where(ohK, idsK, 0), axis=1)
+        cand_u = jnp.sum(jnp.where(ohK, l_u, 0.0), axis=1)
+        cand_v = jnp.sum(jnp.where(ohK, l_v, 0.0), axis=1)
+        take = lane_leaf & cand_any & (cand_t < st["best_t"])
+        st["best_t"] = jnp.where(take, cand_t, st["best_t"])
+        st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
+        st["best_u"] = jnp.where(take, cand_u, st["best_u"])
+        st["best_v"] = jnp.where(take, cand_v, st["best_v"])
+        st["found"] = st["found"] | (lane_leaf & cand_any)
+        # any-hit lanes retire at first hit
+        sp = jnp.where(st["found"] & st["shadow"], 0, sp)
+
+        a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
+        meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
+        tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
+        cols_t, cols_m = _sort_children(tA, meta)
+
+        lane_int = active & ~is_leaf
+        stack = st["stack"]
+        for k in range(ARITY - 1, -1, -1):
+            push = lane_int & jnp.isfinite(cols_t[k])
+            oh = _slot_onehot(sp, STACK) & push[:, None]
+            stack = jnp.where(oh, cols_m[k][:, None], stack)
+            sp = jnp.where(push, jnp.minimum(sp + 1, STACK), sp)
+        st["stack"] = stack
+        st["sp"] = sp
+        return st
+
+    def refill(st):
+        retired = st["sp"] <= 0
+        # write back retired lanes' results (drop lanes already written:
+        # ray_id is bumped out of range after its first write-back)
+        lane_iota = jnp.arange(W, dtype=jnp.int32)
+        wid = jnp.where(retired, st["ray_id"], n_rays + lane_iota)
+        out = st["out"].at[wid].set(
+            jnp.stack(
+                [
+                    st["best_t"],
+                    _encode_ids(st["best_tri"]),
+                    st["best_u"],
+                    st["best_v"],
+                    st["found"].astype(f32),
+                ],
+                axis=1,
+            ),
+            mode="drop", unique_indices=True,
+        )
+        st["out"] = out
+        # assign fresh pool rays to retired lanes
+        slot = jnp.cumsum(retired.astype(jnp.int32)) - 1
+        new_id = st["next"] + slot
+        take_new = retired & (new_id < n_live)
+        ids = jnp.where(take_new, new_id, n_rays)
+        rows = jnp.take(pool, jnp.minimum(ids, n_rays - 1), axis=0)
+        o, d, bt, btri, bu, bv, fnd, sh, sp_new = load(rows, ids)
+
+        def sel(new, old):
+            m = take_new
+            while m.ndim < new.ndim:
+                m = m[..., None]
+            return jnp.where(m, new, old)
+
+        st["o"] = sel(o, st["o"])
+        st["d"] = sel(d, st["d"])
+        st["best_t"] = sel(bt, st["best_t"])
+        st["best_tri"] = sel(btri, st["best_tri"])
+        st["best_u"] = sel(bu, st["best_u"])
+        st["best_v"] = sel(bv, st["best_v"])
+        st["found"] = sel(fnd, st["found"])
+        st["shadow"] = sel(sh, st["shadow"])
+        st["sp"] = jnp.where(take_new, sp_new, jnp.where(retired, 0, st["sp"]))
+        st["stack"] = jnp.where(take_new[:, None], 0, st["stack"])
+        # retired lanes (written back) must not be written again
+        st["ray_id"] = jnp.where(take_new, new_id, jnp.where(retired, n_rays, st["ray_id"]))
+        st["next"] = jnp.minimum(st["next"] + jnp.sum(retired.astype(jnp.int32)), n_live)
+        return st
+
+    def cond(st):
+        return jnp.any(st["sp"] > 0) | (st["next"] < n_live)
+
+    def body(st):
+        def inner(_, s):
+            return step(s)
+
+        st = jax.lax.fori_loop(0, refill_every, inner, st)
+        return refill(st)
+
+    st = jax.lax.while_loop(cond, body, state)
+    st = refill(st)  # final write-back of any lanes retired exactly at exit
+
+    out = st["out"]
+    res = dict(
+        best_t=out[:, 0],
+        best_tri=_decode_ids(out[:, 1]),
+        best_u=out[:, 2],
+        best_v=out[:, 3],
+        found=out[:, 4] > 0.5,
+    )
+    if profile:
+        res["pops"] = st["pops"]
+        # per-lane "paid" rows: window steps spread over the pool
+        res["iters"] = jnp.full(
+            (n_rays,), st["nsteps"] * W // max(n_rays, 1), jnp.int32
+        )
+        res["nsteps"] = jnp.full((n_rays,), st["nsteps"], jnp.int32)
+        res["occupancy"] = jnp.full((n_rays,), st["occupancy"], jnp.int32)
+    return res
+
+
 def closest_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
+    stream_window: int = 0, refill_every: int = 8,
 ) -> Hits:
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=False, mask=mask, chunks=chunks,
         sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
+        stream_window=stream_window, refill_every=refill_every,
     )
     found = st["best_tri"] >= 0
     return Hits(
@@ -700,7 +941,8 @@ def closest_hit(
 
 def trace_mixed(
     wbvh: WideBVH, rays: Rays, shadow: jnp.ndarray, t_min: float = 0.0, mask=None,
-    chunks: int = 1, sort_rays: bool = False,
+    chunks: int = 1, sort_rays: bool = False, stream_window: int = 0,
+    refill_every: int = 8,
 ) -> tuple[Hits, jnp.ndarray]:
     """One traversal over a MIXED batch: lanes with shadow=True run any-hit
     (retire at first hit), the rest run closest-hit. Fuses the wavefront's
@@ -710,6 +952,7 @@ def trace_mixed(
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=False, mask=mask,
         chunks=chunks, sort_rays=sort_rays, shadow=shadow,
+        stream_window=stream_window, refill_every=refill_every,
     )
     found = st["best_tri"] >= 0
     hits = Hits(
@@ -724,7 +967,7 @@ def trace_mixed(
 def any_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
-    return_tri: bool = False,
+    return_tri: bool = False, stream_window: int = 0, refill_every: int = 8,
 ):
     """Occlusion query. With prime_tri/tri_rows, lanes whose cached occluder
     still blocks retire after ONE row gather (shadow caching — the dominant
@@ -735,6 +978,7 @@ def any_hit(
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=True, mask=mask, chunks=chunks,
         sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
+        stream_window=stream_window, refill_every=refill_every,
     )
     if return_tri:
         return st["found"], jnp.where(st["found"], st["best_tri"], -1)

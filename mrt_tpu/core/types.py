@@ -198,6 +198,13 @@ class RenderSettings:
     # traversed in this many independent while_loops (tail isolation).
     traversal_chunks: int = 16
     sort_rays: bool = True
+    # Streaming wavefront traversal (bvh/wide._traverse_stream): >0 = window
+    # size; retired lanes refill from the sorted pool every stream_refill
+    # steps, paying ~mean steps per ray instead of the chunk's max (measured
+    # 3.4-9x tail waste in the chunked mode, docs/PERF.md round 2). 0 = use
+    # the chunked mode.
+    traversal_stream: int = 0
+    stream_refill: int = 8
     # Traversal engine: "wide" = packed-row wide BVH (gather-bound),
     # "cluster" = dense cluster-packet tracer (FLOP-bound, zero hot gathers).
     traversal_backend: str = "wide"
@@ -213,6 +220,18 @@ class RenderSettings:
     # hits are combined across the axis with min-t collectives. For BVHs
     # larger than one chip's HBM.
     geometry_axis: str | None = None
+    # Two-level BLAS/TLAS instancing (bvh/twolevel.py): per unique mesh one
+    # object-space BLAS (shared between instances), per-frame refit touches
+    # only skinned BLASes + instance/TLAS rows. Applies to the "wide"
+    # backend; gp-sharded and fused-shadow configurations use the flattened
+    # single-level path.
+    two_level: bool = True
+    # Hit/occluder priming (bvh/wide._prime_hits): primary rays seed best-t
+    # from the previous frame/sample's hit triangle; shadow rays test their
+    # cached occluder first and retire on one row gather. Semantics-exact
+    # (candidates are re-tested); pure gather-count saving under temporal /
+    # sample coherence.
+    hit_priming: bool = True
 
     @property
     def base_samples(self) -> int:

@@ -53,6 +53,12 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
 
     Row dimension must be divisible by the dp axis size.
     """
+    import dataclasses
+
+    # priming caches are not threaded through the distributed step (hints are
+    # per-frame state the DistributedRenderer doesn't carry); disable so the
+    # candidate gather isn't wasted on always-empty caches
+    settings = dataclasses.replace(settings, hit_priming=False)
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     h = settings.height
@@ -87,6 +93,10 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
         if settings.traversal_backend == "cluster":
             bvh = cl.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        elif settings.two_level and settings.traversal_backend == "wide":
+            from ..bvh import twolevel
+
+            bvh = twolevel.refit(bvh, scene.positions_obj, scene.instance_transform)
         else:
             bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
@@ -135,8 +145,11 @@ class DistributedRenderer:
         # host-side initial BVH topology (shared with single-chip path)
         tmp = Renderer.__new__(Renderer)
         object.__setattr__(tmp, "_initialized", False)
+        tmp.scene = scene
         tmp.scene_data = self.scene_data
+        tmp.statics = self.statics
         tmp.traversal_backend = settings.traversal_backend
+        tmp.two_level = settings.two_level
         Renderer._build_bvh(tmp)
         self.bvh = tmp.bvh
 

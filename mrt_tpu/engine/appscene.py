@@ -35,9 +35,22 @@ def _attach_swing_rig(robot) -> None:
     robot.skin.animation = anim.make_swing_clip(n_joints, rest)
 
 
-def make_app_scene(width: int = 512, height: int = 512, include_robot: bool = True) -> Scene:
+def make_app_scene(width: int = 512, height: int = 512, include_robot: bool = True,
+                   dragon_subdivisions: int | None = None) -> Scene:
+    """dragon_subdivisions: override the dragon stand-in's tessellation
+    (None = asset/default; 8 = ~1.31M tris, real Stanford-dragon scale)."""
     scene = Scene(width=width, height=height)
     models = []
+    dragon_mesh = None
+    if dragon_subdivisions is not None:
+        from ..assets import procedural
+        from ..assets.obj import MaterialDef
+
+        dragon_mesh = procedural.blob(
+            subdivisions=dragon_subdivisions, radius=0.28, seed=7,
+            material=MaterialDef(name="Dragon", base_color=(1.0, 0.0, 0.0),
+                                 specular=(0.2, 0.2, 0.2)),
+        )
     if include_robot:
         robot = Model("robot", position=[-0.5, 0.0, 1.0], rotation=[0, 0, 0], scale=0.01)
         stub = getattr(robot.mesh, "_skin_stub", None)
@@ -56,6 +69,7 @@ def make_app_scene(width: int = 512, height: int = 512, include_robot: bool = Tr
             rotation=[0, np.pi / 2 * 1.2, 0],
             scale=1.2,
             material_override=ModelMaterialOverride.glass(),
+            mesh=dragon_mesh,
         ),
         Model("train", position=[-0.3, 0, 0.4], scale=0.5),
         Model("treefir", position=[0.5, 0, -0.2], scale=0.7),

@@ -31,6 +31,10 @@ def save(renderer, path: str) -> None:
         motion=np.asarray(renderer.motion),
         depth=np.asarray(renderer.depth),
         offsets=np.asarray(renderer.offsets),
+        # hit/occluder priming caches: pure hints, but saving them keeps a
+        # resumed render bit-identical to an uninterrupted one
+        prime_primary=np.asarray(renderer.prime_primary),
+        prime_shadow=np.asarray(renderer.prime_shadow),
         frame_index=renderer.frame_index,
         camera_azimuth=renderer.camera_azimuth,
         camera_elevation=renderer.camera_elevation,
@@ -91,6 +95,9 @@ def restore(renderer, path: str) -> None:
     renderer.motion = jnp.asarray(z["motion"])
     renderer.depth = jnp.asarray(z["depth"])
     object.__setattr__(renderer, "offsets", jnp.asarray(z["offsets"]))
+    if "prime_primary" in z:
+        renderer.prime_primary = jnp.asarray(z["prime_primary"])
+        renderer.prime_shadow = jnp.asarray(z["prime_shadow"])
     renderer.camera_azimuth = float(z["camera_azimuth"])
     renderer.camera_elevation = float(z["camera_elevation"])
     renderer.camera_distance = float(z["camera_distance"])

@@ -62,7 +62,7 @@ VIEW_MODE_TPS = "tps"
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion,
-                  skin_bundle=(), joint_matrices=()):
+                  skin_bundle=(), joint_matrices=(), prime_primary=None, prime_shadow=None):
     """One frame: skinning -> transforms -> refit -> trace tiles -> accumulate.
 
     offsets: (H,W) int32; prev_accum: (H,W,3); prev_motion: (H,W,2).
@@ -96,11 +96,20 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
     with jax.named_scope("bvh_refit"):
         if settings.traversal_backend == "cluster":
             bvh = cl.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        elif settings.two_level and settings.traversal_backend == "wide":
+            # per-frame update touches only skinned BLASes + instance/TLAS
+            # rows; static geometry is never re-refit (Renderer.swift:1084-1202)
+            from ..bvh import twolevel
+
+            bvh = twolevel.refit(bvh, scene.positions_obj, scene.instance_transform)
         else:
             bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
 
     with jax.named_scope("trace"):
-        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
+        out = wf.trace_block(
+            settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion,
+            prime_primary=prime_primary, prime_shadow=prime_shadow,
+        )
 
     with jax.named_scope("accumulate"):
         accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
@@ -114,7 +123,8 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             normal=out.normal,
             roughness=out.roughness,
         )
-    return accum, out.depth, out.motion, gbuffer, scene.positions_obj, rays_traced
+    return (accum, out.depth, out.motion, gbuffer, scene.positions_obj, rays_traced,
+            out.prime_primary, out.prime_shadow)
 
 
 class FrameStats:
@@ -199,6 +209,10 @@ class Renderer:
         self.sort_rays = T.RenderSettings.sort_rays
         self.traversal_backend = T.RenderSettings.traversal_backend
         self.cluster_packet = T.RenderSettings.cluster_packet
+        self.hit_priming = T.RenderSettings.hit_priming
+        self.two_level = T.RenderSettings.two_level
+        self.traversal_stream = T.RenderSettings.traversal_stream
+        self.stream_refill = T.RenderSettings.stream_refill
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -242,7 +256,7 @@ class Renderer:
                 # direct resets (orbit/zoom/presets) also invalidate the
                 # presenter's output-res history — stale history ghosts
                 self._clear_presenter_history()
-            if name == "traversal_backend" and changed:
+            if name in ("traversal_backend", "two_level") and changed:
                 self._build_bvh()
                 object.__setattr__(self, "frame_index", 0)
                 self._clear_presenter_history()
@@ -281,6 +295,10 @@ class Renderer:
             sort_rays=self.sort_rays,
             traversal_backend=self.traversal_backend,
             cluster_packet=self.cluster_packet,
+            hit_priming=self.hit_priming,
+            two_level=self.two_level,
+            traversal_stream=self.traversal_stream,
+            stream_refill=self.stream_refill,
         )
 
     # -- state -------------------------------------------------------------------
@@ -294,6 +312,10 @@ class Renderer:
         self.motion = jnp.zeros((h, w, 2), jnp.float32)
         self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
         self.gbuffer = None
+        # hit/occluder priming caches: hints, not history — they are
+        # re-verified every frame, so they survive accumulation resets
+        self.prime_primary = jnp.full((h, w), -1, jnp.int32)
+        self.prime_shadow = jnp.full((h, w), -1, jnp.int32)
         self._state_size = (h, w)
         self.frame_index = 0
 
@@ -310,6 +332,12 @@ class Renderer:
         idx = np.asarray(scene.indices)
         if self.traversal_backend == "cluster":
             self.bvh = cl.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
+        elif self.two_level and self.traversal_backend == "wide":
+            from ..bvh import twolevel
+
+            self.bvh = twolevel.build(
+                self.scene.models, self.scene_data, self.statics.skin_slices
+            )
         else:
             self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
 
@@ -418,7 +446,8 @@ class Renderer:
             motion_sampling_high_px=self.motion_sampling_high_threshold_pixels,
         )
 
-        accum, depth, motion, gbuffer, skinned_pos, rays_traced = _render_frame(
+        (accum, depth, motion, gbuffer, skinned_pos, rays_traced,
+         prime_primary, prime_shadow) = _render_frame(
             self.settings(),
             self.statics,
             self.scene_data,
@@ -429,8 +458,11 @@ class Renderer:
             self.motion,
             getattr(self.scene, "skin_bundle", ()),
             self._joint_matrices,
+            self.prime_primary,
+            self.prime_shadow,
         )
         self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
+        self.prime_primary, self.prime_shadow = prime_primary, prime_shadow
         self.last_rays_traced = rays_traced  # device scalar; int() to read
         self.stats.record(rays_traced)
         if self.statics.skin_slices:

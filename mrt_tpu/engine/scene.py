@@ -92,9 +92,18 @@ class Model:
                 animation=si["animation"],
                 geometry_bind=si["geometry_bind"],
             )
-        if material_override is not None:
-            for sub in self.mesh.submeshes:
-                _apply_override(sub.material, material_override)
+    def effective_materials(self) -> list[MaterialDef]:
+        """Per-submesh materials with this model's override applied — a
+        SNAPSHOT, not a mutation (meshes may be shared between models;
+        SubMesh.applyMaterialOverride's write-through, SubMesh.swift:272-288,
+        becomes per-instance resource tables here)."""
+        mats = []
+        for sub in self.mesh.submeshes:
+            m = dataclasses.replace(sub.material) if dataclasses.is_dataclass(sub.material) else sub.material
+            if self.material_override is not None:
+                _apply_override(m, self.material_override)
+            mats.append(m)
+        return mats
 
     # --- transforms ---------------------------------------------------------
     @property
@@ -130,10 +139,26 @@ def _apply_override(mat: MaterialDef, o: ModelMaterialOverride):
         mat.opacity = float(np.clip(o.opacity, 0.0, 1.0))
 
 
+_MESH_CACHE: dict = {}
+
+
 def _resolve_mesh(name: str) -> MeshData:
     """USDZ-preferred asset resolution (Model.swift:63-70) adapted: look for
     OBJ in the asset search paths; fall back to procedural stand-ins for the
-    repository's missing large blobs (dragon/bunny/robot)."""
+    repository's missing large blobs (dragon/bunny/robot).
+
+    Resolved meshes are CACHED by name: two models of the same asset share
+    one MeshData (and therefore one BLAS, Renderer.swift:547-576 instancing).
+    Material overrides are applied per-instance at compile time
+    (Model.effective_materials), never onto the shared mesh."""
+    if name in _MESH_CACHE:
+        return _MESH_CACHE[name]
+    mesh = _resolve_mesh_uncached(name)
+    _MESH_CACHE[name] = mesh
+    return mesh
+
+
+def _resolve_mesh_uncached(name: str) -> MeshData:
     for root in ASSET_SEARCH_PATHS:
         for candidate in (root / f"{name}.glb", root / f"{name}.gltf",
                           root / name / f"{name}.glb", root / name / f"{name}.gltf"):
@@ -333,20 +358,23 @@ class Scene:
             normals.append(mesh.normals)
             uvs.append(mesh.uvs)
             vert_inst.append(np.full(mesh.positions.shape[0], inst, np.int32))
-            for sub in mesh.submeshes:
+            # per-INSTANCE material snapshots (meshes may be shared between
+            # models; overrides must not write through to other instances)
+            eff_mats = model.effective_materials()
+            for sub, mat in zip(mesh.submeshes, eff_mats):
                 res_id = atlas_builder.add_resource(
                     {
-                        tex.MAP_BASECOLOR: sub.material.map_base_color,
-                        tex.MAP_NORMAL: sub.material.map_normal,
-                        tex.MAP_ROUGHNESS: sub.material.map_roughness,
-                        tex.MAP_METALLIC: sub.material.map_metallic,
-                        tex.MAP_AO: sub.material.map_ao,
-                        tex.MAP_OPACITY: sub.material.map_opacity,
-                        tex.MAP_EMISSION: sub.material.map_emission,
+                        tex.MAP_BASECOLOR: mat.map_base_color,
+                        tex.MAP_NORMAL: mat.map_normal,
+                        tex.MAP_ROUGHNESS: mat.map_roughness,
+                        tex.MAP_METALLIC: mat.map_metallic,
+                        tex.MAP_AO: mat.map_ao,
+                        tex.MAP_OPACITY: mat.map_opacity,
+                        tex.MAP_EMISSION: mat.map_emission,
                     }
                 )
                 assert res_id == len(mats)
-                mats.append(sub.material)
+                mats.append(mat)
                 indices.append(sub.indices + v_base)
                 tri_res.append(np.full(sub.indices.shape[0], res_id, np.int32))
                 tri_inst.append(np.full(sub.indices.shape[0], inst, np.int32))

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..assets import texture as tex
 from ..bvh import clusters as cl
+from ..bvh import twolevel
 from ..bvh import wide
 from ..core import halton as H
 from ..core import types as T
@@ -120,6 +121,9 @@ class TileOutputs(NamedTuple):
     roughness: jnp.ndarray  # (P,)
     rays_traced: jnp.ndarray  # (P,) int32 actual traversals launched (closest
     # + any-hit) — the honest numerator for Mrays/s
+    prime_primary: jnp.ndarray  # (P,) int32 this frame's primary hit tri
+    prime_shadow: jnp.ndarray  # (P,) int32 this frame's bounce-0 occluder tri
+    # (both feed the next frame's hit/occluder priming, bvh/wide._prime_hits)
 
 
 def sample_environment(env_map: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -194,10 +198,16 @@ def trace_tile(
     sample_base: jnp.ndarray | None = None,  # () int32 Halton index base;
     # defaults to frame_index * sample_stride (Raytracing.metal:270). Sample-
     # parallel shards pass (frame_index * sp_size + sp_rank) * sample_stride.
+    prime_primary: jnp.ndarray | None = None,  # (P,) int32 cached primary tri
+    prime_shadow: jnp.ndarray | None = None,  # (P,) int32 cached occluder tri
 ) -> TileOutputs:
     P = pixel_x.shape[0]
     f32 = jnp.float32
     zero3 = jnp.zeros((P, 3), f32)
+    if prime_primary is None:
+        prime_primary = jnp.full((P,), -1, jnp.int32)
+    if prime_shadow is None:
+        prime_shadow = jnp.full((P,), -1, jnp.int32)
 
     base_samples = settings.base_samples
     max_extra = settings.max_extra_samples
@@ -210,7 +220,8 @@ def trace_tile(
         uniforms.frame_index * sample_stride if sample_base is None else sample_base
     )
 
-    def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0):
+    def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0,
+                         prime_p, prime_s):
         """Body of the spp loop (Raytracing.metal:269-790). Returns the
         sample radiance and (on sample 0) primary depth/motion/G-buffer."""
         frame_offset = base + sample_index
@@ -250,11 +261,32 @@ def trace_tile(
             rays=jnp.zeros((P,), jnp.int32),
             iter=jnp.zeros((), jnp.int32),
         )
+        two_level = (
+            settings.two_level
+            and settings.traversal_backend == "wide"
+            and not settings.geometry_axis
+        )
         fused = (
             settings.fuse_shadow_rays
             and settings.traversal_backend == "wide"
             and not settings.geometry_axis
+            and not two_level
         )
+        # hit/occluder priming (wide backend, unfused): one candidate-tri
+        # gather replaces most of a traversal under temporal/sample coherence
+        priming = (
+            settings.hit_priming
+            and settings.traversal_backend == "wide"
+            and not fused
+            and not settings.geometry_axis
+        )
+        stream_w2 = settings.traversal_stream if settings.traversal_stream > 0 else 8192
+        if priming:
+            state.update(
+                occ_prime=prime_s,  # rolling occluder hint (bounce to bounce)
+                prim_out=jnp.full((P,), -1, jnp.int32),
+                ps_out=prime_s,  # bounce-0 occluder cache for next frame
+            )
         if fused:
             # deferred shadow rays: traced together with the NEXT bounce's
             # closest-hit batch
@@ -297,6 +329,8 @@ def trace_tile(
                 hits2, occ2 = wide.trace_mixed(
                     bvh, batch, shadow_lane, mask=both_mask,
                     chunks=n_chunks2, sort_rays=settings.sort_rays,
+                    stream_window=2 * settings.traversal_stream,
+                    refill_every=settings.stream_refill,
                 )
                 hits = T.Hits(
                     t=hits2.t[:P], triangle=hits2.triangle[:P],
@@ -310,9 +344,35 @@ def trace_tile(
                 st["pend_mask"] = jnp.zeros((P,), bool)
             elif settings.traversal_backend == "cluster":
                 hits = cl.closest_hit(bvh, rays, mask=active, packet=settings.cluster_packet)
+            elif two_level:
+                hits = twolevel.closest_hit(
+                    bvh, rays, mask=active, sort_rays=settings.sort_rays,
+                    stream_window=stream_w2, refill_every=settings.stream_refill,
+                    prime_tri=(jnp.where(st["iter"] == 0, prime_p, -1) if priming else None),
+                    tri_rows=(geom.motion_rows if priming else None),
+                )
+                if priming:
+                    st["prim_out"] = jnp.where(
+                        (st["iter"] == 0) & active, hits.triangle, st["prim_out"]
+                    )
+            elif priming:
+                # camera rays (iteration 0) seed best-t from the cached tri;
+                # bounce rays have no useful candidate
+                hits = wide.closest_hit(
+                    bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays,
+                    prime_tri=jnp.where(st["iter"] == 0, prime_p, -1),
+                    tri_rows=geom.motion_rows,
+                    stream_window=settings.traversal_stream,
+                    refill_every=settings.stream_refill,
+                )
+                st["prim_out"] = jnp.where(
+                    (st["iter"] == 0) & active, hits.triangle, st["prim_out"]
+                )
             else:
                 hits = wide.closest_hit(
-                    bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays
+                    bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays,
+                    stream_window=settings.traversal_stream,
+                    refill_every=settings.stream_refill,
                 )
             if settings.geometry_axis:
                 hits = combine_hits_across(hits, settings.geometry_axis)
@@ -569,9 +629,38 @@ def trace_tile(
                 else:
                     if settings.traversal_backend == "cluster":
                         occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                    elif two_level:
+                        occluded, occ_tri = twolevel.any_hit(
+                            bvh, shadow_rays, mask=need_shadow,
+                            sort_rays=settings.sort_rays, stream_window=stream_w2,
+                            refill_every=settings.stream_refill,
+                            prime_tri=(st["occ_prime"] if priming else None),
+                            tri_rows=(geom.motion_rows if priming else None),
+                            return_tri=True,
+                        )
+                        if priming:
+                            st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
+                            st["ps_out"] = jnp.where(
+                                need_shadow & (st["bounce"] == 0), occ_tri, st["ps_out"]
+                            )
+                    elif priming:
+                        occluded, occ_tri = wide.any_hit(
+                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
+                            sort_rays=settings.sort_rays, prime_tri=st["occ_prime"],
+                            tri_rows=geom.motion_rows, return_tri=True,
+                            stream_window=settings.traversal_stream,
+                            refill_every=settings.stream_refill,
+                        )
+                        st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
+                        st["ps_out"] = jnp.where(
+                            need_shadow & (st["bounce"] == 0), occ_tri, st["ps_out"]
+                        )
                     else:
                         occluded = wide.any_hit(
-                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
+                            sort_rays=settings.sort_rays,
+                            stream_window=settings.traversal_stream,
+                            refill_every=settings.stream_refill,
                         )
                     if settings.geometry_axis:
                         occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
@@ -627,9 +716,38 @@ def trace_tile(
                 else:
                     if settings.traversal_backend == "cluster":
                         occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
+                    elif two_level:
+                        occluded, occ_tri = twolevel.any_hit(
+                            bvh, shadow_rays, mask=need_shadow,
+                            sort_rays=settings.sort_rays, stream_window=stream_w2,
+                            refill_every=settings.stream_refill,
+                            prime_tri=(st["occ_prime"] if priming else None),
+                            tri_rows=(geom.motion_rows if priming else None),
+                            return_tri=True,
+                        )
+                        if priming:
+                            st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
+                            st["ps_out"] = jnp.where(
+                                need_shadow & (st["bounce"] == 0), occ_tri, st["ps_out"]
+                            )
+                    elif priming:
+                        occluded, occ_tri = wide.any_hit(
+                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
+                            sort_rays=settings.sort_rays, prime_tri=st["occ_prime"],
+                            tri_rows=geom.motion_rows, return_tri=True,
+                            stream_window=settings.traversal_stream,
+                            refill_every=settings.stream_refill,
+                        )
+                        st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
+                        st["ps_out"] = jnp.where(
+                            need_shadow & (st["bounce"] == 0), occ_tri, st["ps_out"]
+                        )
                     else:
                         occluded = wide.any_hit(
-                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks, sort_rays=settings.sort_rays
+                            bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
+                            sort_rays=settings.sort_rays,
+                            stream_window=settings.traversal_stream,
+                            refill_every=settings.stream_refill,
                         )
                     if settings.geometry_axis:
                         occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
@@ -660,6 +778,8 @@ def trace_tile(
             return st
 
         st = jax.lax.while_loop(cond, body, state)
+        new_pp = st["prim_out"] if priming else prime_p
+        new_ps = st["ps_out"] if priming else prime_s
         return (
             st["accumulated"],
             st["had_primary"],
@@ -667,18 +787,25 @@ def trace_tile(
             st["motion"],
             (st["gb_diff"], st["gb_spec"], st["gb_norm"], st["gb_rough"]),
             st["rays"],
+            new_pp,
+            new_ps,
         )
 
     # --- sample loop with motion-adaptive extra samples ----------------------
     # (Raytracing.metal:263-293,779-789)
     def sample_body(carry):
-        sample_index, total_color, total_samples, had0, depth0, motion0, g0, rays_total = carry
-        radiance, had, depth, motion, g, rays_n = trace_one_sample(
-            sample_index, total_color, had0, depth0, motion0, g0
+        (sample_index, total_color, total_samples, had0, depth0, motion0, g0,
+         rays_total, pp, ps) = carry
+        radiance, had, depth, motion, g, rays_n, pp_new, ps_new = trace_one_sample(
+            sample_index, total_color, had0, depth0, motion0, g0, pp, ps
         )
         counted = sample_index < total_samples
         total_color = total_color + jnp.where(counted[:, None], radiance, 0.0)
         rays_total = rays_total + jnp.where(counted, rays_n, 0)
+        # later samples of this pixel prime with THIS sample's primary hit /
+        # occluder (sub-pixel jitter rarely changes the triangle)
+        pp = jnp.where(counted, pp_new, pp)
+        ps = jnp.where(counted, ps_new, ps)
 
         is0 = sample_index == 0
         had0 = jnp.where(is0, had, had0)
@@ -694,7 +821,8 @@ def trace_tile(
             t = jnp.clip((motion_mag - low) / (high - low), 0.0, 1.0)
             extra = jnp.clip(jnp.round(t * max_extra).astype(jnp.int32), 0, max_extra)
             total_samples = jnp.where(is0, base_samples + extra, total_samples)
-        return sample_index + 1, total_color, total_samples, had0, depth0, motion0, g0, rays_total
+        return (sample_index + 1, total_color, total_samples, had0, depth0, motion0,
+                g0, rays_total, pp, ps)
 
     P3 = jnp.zeros((P, 3), jnp.float32)
     carry0 = (
@@ -706,6 +834,8 @@ def trace_tile(
         jnp.zeros((P, 2), jnp.float32),
         (P3, P3, P3, jnp.zeros((P,), jnp.float32)),
         jnp.zeros((P,), jnp.int32),
+        jnp.asarray(prime_primary, jnp.int32),
+        jnp.asarray(prime_shadow, jnp.int32),
     )
 
     def sample_cond(carry):
@@ -715,9 +845,8 @@ def trace_tile(
         sample_index, _, total_samples = carry[0], carry[1], carry[2]
         return (sample_index < sample_stride) & (sample_index < jnp.max(total_samples))
 
-    (_, total_color, total_samples, had0, depth0, motion0, g0, rays_total) = jax.lax.while_loop(
-        sample_cond, sample_body, carry0
-    )
+    (_, total_color, total_samples, had0, depth0, motion0, g0, rays_total,
+     prime_p_out, prime_s_out) = jax.lax.while_loop(sample_cond, sample_body, carry0)
 
     # average all samples (Raytracing.metal:793)
     total_color = total_color / jnp.maximum(total_samples, 1).astype(jnp.float32)[:, None]
@@ -731,6 +860,8 @@ def trace_tile(
         normal=g0[2],
         roughness=g0[3],
         rays_traced=rays_total,
+        prime_primary=prime_p_out,
+        prime_shadow=prime_s_out,
     )
 
 
@@ -745,6 +876,8 @@ def trace_block(
     prev_motion: jnp.ndarray,  # (h_blk, W, 2)
     y0: jnp.ndarray | int = 0,  # global row of the block's first row
     sample_base: jnp.ndarray | None = None,
+    prime_primary: jnp.ndarray | None = None,  # (h_blk, W) int32
+    prime_shadow: jnp.ndarray | None = None,  # (h_blk, W) int32
 ):
     """Trace a contiguous row block of the image, tiled into fixed-size ray
     batches via ``lax.map`` (the 16x16-threadgroup-grid analog,
@@ -767,14 +900,24 @@ def trace_block(
         n_tiles, tile, 2
     )
 
-    def do_tile(args):
-        tpx, tpy, toffs, tpmot = args
-        return trace_tile(
-            settings, statics, scene, bvh, geom, uniforms, tpx, tpy, toffs, tpmot,
-            sample_base=sample_base,
+    def pad_prime(p):
+        if p is None:
+            p = jnp.full((h_blk, w), -1, jnp.int32)
+        return jnp.pad(p.reshape(-1), (0, padded - n_pix), constant_values=-1).reshape(
+            n_tiles, tile
         )
 
-    out = jax.lax.map(do_tile, (px, py, offs, pmot))
+    pprim = pad_prime(prime_primary)
+    pshad = pad_prime(prime_shadow)
+
+    def do_tile(args):
+        tpx, tpy, toffs, tpmot, tpp, tps = args
+        return trace_tile(
+            settings, statics, scene, bvh, geom, uniforms, tpx, tpy, toffs, tpmot,
+            sample_base=sample_base, prime_primary=tpp, prime_shadow=tps,
+        )
+
+    out = jax.lax.map(do_tile, (px, py, offs, pmot, pprim, pshad))
 
     def unpad(a):
         a = a.reshape((padded,) + a.shape[2:])[:n_pix]

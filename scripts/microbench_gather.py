@@ -28,26 +28,28 @@ def bench_gather(rows, width, dtype, reps=3, sorted_idx=False):
     if sorted_idx:
         idx0 = jnp.sort(idx0)
 
-    def step(i, carry):
-        idx, acc = carry
-        row = jnp.take(table, idx, axis=0)
-        acc = acc + row[:, 0].astype(jnp.float32)
-        # dependent next index (same dependency structure as BVH traversal)
-        nxt = (idx * 1103515245 + 12345 + row[:, 1].astype(jnp.int32)) % rows
-        if sorted_idx:
-            nxt = jnp.sort(nxt)
-        return jnp.abs(nxt), acc
-
     @jax.jit
-    def run(idx0):
+    def run(table, idx0):
+        # table as an ARGUMENT (a closure capture becomes a baked-in program
+        # constant and blows the remote-compile request size for big tables)
+        def step(i, carry):
+            idx, acc = carry
+            row = jnp.take(table, idx, axis=0)
+            acc = acc + row[:, 0].astype(jnp.float32)
+            # dependent next index (same dependency structure as traversal)
+            nxt = (idx * 1103515245 + 12345 + row[:, 1].astype(jnp.int32)) % rows
+            if sorted_idx:
+                nxt = jnp.sort(nxt)
+            return jnp.abs(nxt), acc
+
         idx, acc = jax.lax.fori_loop(0, ITERS, step, (idx0, jnp.zeros((N,), jnp.float32)))
         return acc.sum()
 
-    run(idx0).block_until_ready()  # compile
+    run(table, idx0).block_until_ready()  # compile
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(idx0).block_until_ready()
+        run(table, idx0).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     ns_per_row = best / (ITERS * N) * 1e9
     bytes_per_row = width * jnp.dtype(dtype).itemsize
@@ -88,7 +90,23 @@ def bench_sort(n, payload_cols, reps=3):
 
 
 def main():
+    import sys
+
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+
+    if "--round2" in sys.argv:
+        # configs the first round didn't reach (it died on a baked-constant
+        # compile-size limit, since fixed)
+        for w in (128, 256, 512):
+            print(json.dumps(bench_gather(16384, w, jnp.bfloat16)), flush=True)
+        for rows in (131072, 262144):
+            for w in (128, 512):
+                print(json.dumps(bench_gather(rows, w, jnp.float32)), flush=True)
+        print(json.dumps(bench_gather(16384, 128, jnp.float32, sorted_idx=True)), flush=True)
+        print(json.dumps(bench_sort(65536, 8)), flush=True)
+        print(json.dumps(bench_sort(131072, 8)), flush=True)
+        print(json.dumps({"done": True}), flush=True)
+        return
 
     # 1) width sweep at fixed 16k-row table, f32
     for w in (8, 64, 128, 256, 512, 1024, 2048):
