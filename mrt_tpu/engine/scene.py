@@ -160,6 +160,15 @@ def _resolve_mesh(name: str) -> MeshData:
 
 def _resolve_mesh_uncached(name: str) -> MeshData:
     for root in ASSET_SEARCH_PATHS:
+        # USDZ preferred over other formats (Model.swift:63-67)
+        for candidate in (root / f"{name}.usdz", root / name / f"{name}.usdz",
+                          root / f"{name}.usda", root / name / f"{name}.usda"):
+            if candidate.exists():
+                from ..assets.usd import load_usd
+
+                mesh, skin_info = load_usd(candidate)
+                mesh._skin_info = skin_info
+                return mesh
         for candidate in (root / f"{name}.glb", root / f"{name}.gltf",
                           root / name / f"{name}.glb", root / name / f"{name}.gltf"):
             if candidate.exists():
