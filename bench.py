@@ -42,6 +42,8 @@ def build_renderer(width, height, dragon_subdivisions=None):
         r.stream_refill = int(os.environ["MRT_REFILL"])
     if os.environ.get("MRT_PRIME"):
         r.hit_priming = os.environ["MRT_PRIME"] == "1"
+    if os.environ.get("MRT_TWOLEVEL"):
+        r.two_level = os.environ["MRT_TWOLEVEL"] == "1"
     return r
 
 

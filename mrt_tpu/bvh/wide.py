@@ -214,9 +214,14 @@ def build_topology_wide(bin_left: np.ndarray, bin_right: np.ndarray, leaf_order:
     return child_arr, leaf_arr, int(depth[0]) + 1
 
 
-def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray) -> WideBVH:
+def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
+          row_ids: jnp.ndarray | None = None) -> WideBVH:
     """Rebuild the packed table's geometry (leaf verts + all child AABBs)
-    from world-space triangle vertices. Jittable, fixed trip count."""
+    from world-space triangle vertices. Jittable, fixed trip count.
+
+    ``row_ids``: optional (Nl, LEAF_K) ids to ENCODE into the leaf rows in
+    place of wbvh.leaf_tri — geometry-sharded BVHs gather verts by shard-
+    LOCAL ids but must report GLOBAL triangle ids to the shade stage."""
     n_i = wbvh.n_internal
     leaf_tri = wbvh.leaf_tri  # (Nl, 4)
     n_l = leaf_tri.shape[0]
@@ -233,10 +238,11 @@ def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray) -> W
     w2 = jnp.where(pad[..., None], nan, w2)
 
     # leaf rows: [v0x*K v0y*K v0z*K v1x*K ... v2z*K | ids*K | pad]
+    ids_out = leaf_tri if row_ids is None else jnp.where(pad, -1, row_ids)
     comps = [w0[:, :, 0], w0[:, :, 1], w0[:, :, 2],
              w1[:, :, 0], w1[:, :, 1], w1[:, :, 2],
              w2[:, :, 0], w2[:, :, 1], w2[:, :, 2]]
-    leaf_rows = jnp.concatenate(comps + [_encode_ids(leaf_tri)], axis=1)
+    leaf_rows = jnp.concatenate(comps + [_encode_ids(ids_out)], axis=1)
     leaf_rows = jnp.pad(leaf_rows, ((0, 0), (0, ROW - leaf_rows.shape[1])))
 
     # leaf own bboxes (ignore NaN pads)

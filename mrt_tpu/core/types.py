@@ -229,9 +229,10 @@ class RenderSettings:
     # Hit/occluder priming (bvh/wide._prime_hits): primary rays seed best-t
     # from the previous frame/sample's hit triangle; shadow rays test their
     # cached occluder first and retire on one row gather. Semantics-exact
-    # (candidates are re-tested); pure gather-count saving under temporal /
-    # sample coherence.
-    hit_priming: bool = True
+    # (candidates are re-tested). Default OFF: measured -6..-10% e2e on the
+    # app scene (the per-call candidate gather outweighs the step savings;
+    # chunked tails don't shrink with mean steps) — see docs/PERF.md round 2.
+    hit_priming: bool = False
 
     @property
     def base_samples(self) -> int:

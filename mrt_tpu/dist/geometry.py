@@ -6,11 +6,24 @@ shard only, rays are replicated across the ``gp`` axis, and per-bounce hits
 are combined with min-t collectives over ICI
 (render/wavefront.combine_hits_across).
 
-Memory: the BVH + packed triangle rows (the dominant footprint, ~0.3 KB/tri)
-scale 1/n_gp per chip; raw vertex attributes stay replicated for shading.
+Memory model (per chip, scene of T triangles over n shards):
+  sharded  ~1/n: BVH table (~70 B/tri), leaf ids, shard shade rows (64 B/tri),
+                 shard motion rows (72 B/tri), shard world tri verts (36 B/tri)
+  replicated:    vertex pools (~50 B/VERTEX), indices (12 B/tri),
+                 global->local map (4 B/tri), materials, texture atlas, lights
+So the dominant ~240 B/tri of triangle-indexed data scales 1/n; the ~16 B/tri
+remainder and the vertex pools stay replicated (cheap by comparison).
+
+Shading: hits are combined min-t across gp, so the winning triangle's
+shade/motion rows may live on another chip — each chip gathers rows it OWNS
+(global->local map) and a psum reconstructs the row everywhere
+(wavefront._tri_rows). Rays are replicated, so all chips then shade
+identically — no divergence, one extra ICI reduce per row fetch.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -37,61 +50,110 @@ def shard_triangles(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, n_shards: in
 
 def build_sharded_bvhs(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, n_shards: int):
     """Per-shard WideBVHs with EQUALIZED shapes (so they stack along a leading
-    mesh axis) and GLOBAL triangle ids in the leaves.
+    mesh axis). Leaf ids are shard-LOCAL (refit gathers shard-local verts);
+    a parallel row-id array carries the GLOBAL ids encoded into leaf rows.
 
-    Returns (stacked WideBVH pytree with leading dim n_shards, shard tri ids).
+    Returns (stacked WideBVH, stacked gids (n, Ts), stacked row_gids
+    (n, Nl, LEAF_K), shard id lists).
     """
     shards = shard_triangles(v0, v1, v2, n_shards)
+    ts_max = max(len(s) for s in shards)
+
     built = []
     for tri_ids in shards:
-        b = wide.build(v0[tri_ids], v1[tri_ids], v2[tri_ids])
-        # leaf ids are local to the shard -> remap to global
-        leaf = np.asarray(b.leaf_tri)
-        remapped = np.where(leaf >= 0, tri_ids[np.clip(leaf, 0, None)], -1).astype(np.int32)
-        built.append(b._replace(leaf_tri=jnp.asarray(remapped)))
+        b = wide.build(v0[tri_ids], v1[tri_ids], v2[tri_ids])  # leaf ids LOCAL
+        built.append((b, tri_ids))
 
-    # equalize: same n_internal, n_rows, depth across shards
-    max_ni = max(b.n_internal for b in built)
-    max_nl = max(b.n_rows - b.n_internal for b in built)
-    depth = max(b.depth for b in built)
-    eq = []
-    for b in built:
+    max_ni = max(b.n_internal for b, _ in built)
+    max_nl = max(b.n_rows - b.n_internal for b, _ in built)
+    depth = max(b.depth for b, _ in built)
+    eq, gids_all, rowg_all = [], [], []
+    for b, tri_ids in built:
         ni, nl = b.n_internal, b.n_rows - b.n_internal
         pad_i, pad_l = max_ni - ni, max_nl - nl
-        # shift leaf ids up by pad_i (leaves now live at [max_ni, max_ni+nl))
         child = np.asarray(b.node_child)
         child = np.where(child >= ni, child + pad_i, child)
         child = np.concatenate([child, np.full((pad_i, wide.ARITY), -1, np.int32)])
-        leaf = np.concatenate(
+        leaf_local = np.concatenate(
             [np.asarray(b.leaf_tri), np.full((pad_l, wide.LEAF_K), -1, np.int32)]
         )
+        row_g = np.where(
+            leaf_local >= 0, tri_ids[np.clip(leaf_local, 0, None)], -1
+        ).astype(np.int32)
+        gids = np.full(ts_max, -1, np.int32)
+        gids[: len(tri_ids)] = tri_ids
         eq.append(
             wide.WideBVH(
                 table=jnp.zeros((max_ni + max_nl, wide.ROW), jnp.float32),
                 node_child=jnp.asarray(child),
-                leaf_tri=jnp.asarray(leaf),
+                leaf_tri=jnp.asarray(leaf_local),
                 n_internal=max_ni,
                 depth=depth,
             )
         )
-        # NOTE: padded internal rows are never reachable (no child points at
-        # them) and padded leaves are NaN after refit (never hit).
+        gids_all.append(gids)
+        rowg_all.append(row_g)
+        # padded internal rows are unreachable; padded leaves NaN after refit
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *eq)
-    return stacked, shards
+    return stacked, jnp.asarray(np.stack(gids_all)), jnp.asarray(np.stack(rowg_all)), shards
+
+
+def build_shard_geometry(scene, pos_w, prev_w, nrm_w, gids, n_tris_global: int) -> wf.Geometry:
+    """Shard-local Geometry: per-triangle rows only for THIS chip's gids
+    (padded slots produce garbage rows that are never selected — g2l routes
+    every real hit to its owner)."""
+    valid = gids >= 0
+    tid = jnp.maximum(gids, 0)
+    idx = jnp.take(scene.indices, tid, axis=0)  # (Ts,3)
+
+    def g(pool, col):
+        return jnp.take(pool, idx[:, col], axis=0)
+
+    v0, v1, v2 = g(pos_w, 0), g(pos_w, 1), g(pos_w, 2)
+    n0, n1, n2 = g(nrm_w, 0), g(nrm_w, 1), g(nrm_w, 2)
+    uv0, uv1, uv2 = g(scene.uvs, 0), g(scene.uvs, 1), g(scene.uvs, 2)
+    res_f = jnp.take(scene.tri_resource, tid).astype(jnp.float32)
+    shade_rows = jnp.concatenate([n0, n1, n2, uv0, uv1, uv2, res_f[:, None]], axis=1)
+    p0, p1, p2 = g(prev_w, 0), g(prev_w, 1), g(prev_w, 2)
+    motion_rows = jnp.concatenate([v0, v1, v2, p0, p1, p2], axis=1)
+
+    ts = gids.shape[0]
+    g2l = (
+        jnp.full((n_tris_global,), -1, jnp.int32)
+        .at[jnp.where(valid, gids, n_tris_global)]
+        .set(jnp.arange(ts, dtype=jnp.int32), mode="drop")
+    )
+    return wf.Geometry(
+        positions_w=pos_w,
+        prev_positions_w=prev_w,
+        normals_w=nrm_w,
+        tri_v0=v0,
+        tri_v1=v1,
+        tri_v2=v2,
+        shade_rows=shade_rows,
+        motion_rows=motion_rows,
+        mat_rows=wf.pack_mat_rows(scene.materials),
+        g2l=g2l,
+    )
 
 
 def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
     """Jitted geometry-sharded frame step over a ('gp',) mesh: rays and image
-    replicated, BVH sharded, hits combined per bounce via ICI collectives."""
+    replicated, BVH + triangle-indexed rows sharded, hits combined per bounce
+    and winner rows reconstructed via ICI collectives."""
     assert "gp" in mesh.shape, "mesh needs a 'gp' axis"
-    settings = __import__("dataclasses").replace(settings, geometry_axis="gp")
+    settings = dataclasses.replace(
+        settings, geometry_axis="gp", two_level=False, hit_priming=False
+    )
+    n_tris = statics.n_triangles
 
-    def shard_fn(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
-                 skin_bundle, joint_matrices):
+    def shard_fn(scene, bvh, gids, row_gids, uniforms, offsets, prev_accum,
+                 prev_motion, skin_bundle, joint_matrices):
         # the sharded leading axis arrives as a size-1 block: squeeze it
         bvh = jax.tree.map(lambda x: x[0], bvh)
-        # replicated skinning (leaf_tri ids are global, so shard refit picks
-        # up the deformed pose automatically)
+        gids = gids[0]
+        row_gids = row_gids[0]
+        # replicated skinning (shard refit picks up the deformed pose)
         if statics.skin_slices:
             from ..skinning import lbs
 
@@ -108,8 +170,8 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
                 nrm_obj = jax.lax.dynamic_update_slice(nrm_obj, sp_nrm, (start, 0))
             scene = scene._replace(positions_obj=pos_obj, normals_obj=nrm_obj)
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
-        geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
-        bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        geom = build_shard_geometry(scene, pos_w, prev_w, nrm_w, gids, n_tris)
+        bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, row_ids=row_gids)
         out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
         accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
         return accum, out.depth, out.motion
@@ -117,14 +179,14 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("gp"), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P("gp"), P("gp"), P("gp"), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
 
     def step(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
-             skin_bundle=(), joint_matrices=()):
-        return shard(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
-                     skin_bundle, joint_matrices)
+             skin_bundle=(), joint_matrices=(), gids=None, row_gids=None):
+        return shard(scene, bvh, gids, row_gids, uniforms, offsets, prev_accum,
+                     prev_motion, skin_bundle, joint_matrices)
 
     return jax.jit(step)

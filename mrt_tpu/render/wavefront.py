@@ -67,6 +67,41 @@ class Geometry(NamedTuple):
     # packed per-resource material row (R,16):
     # [base(3) specular(3) emission(3) spec_exp ior opacity flags pad(3)]
     mat_rows: jnp.ndarray
+    # geometry sharding (dist/geometry.py): global-tri -> shard-local row
+    # index (-1 = not mine). When set, shade/motion rows are SHARD-LOCAL and
+    # per-hit rows are reconstructed with a masked local gather + psum.
+    g2l: jnp.ndarray | None = None
+
+
+def _tri_rows(table, tri, geom: "Geometry", settings):
+    """Per-hit row fetch; under geometry sharding the owner chip gathers its
+    local row and a psum reconstructs it everywhere (rays are replicated
+    across gp, so every lane's value is identical after the reduce)."""
+    if settings.geometry_axis and geom.g2l is not None:
+        loc = jnp.take(geom.g2l, tri)
+        mine = loc >= 0
+        rows = jnp.take(table, jnp.maximum(loc, 0), axis=0)
+        rows = jnp.where(mine[:, None], rows, 0.0)
+        return jax.lax.psum(rows, settings.geometry_axis)
+    return jnp.take(table, tri, axis=0)
+
+
+def pack_mat_rows(m) -> jnp.ndarray:
+    """(R,16) packed material rows:
+    [base(3) specular(3) emission(3) spec_exp ior opacity flags pad(3)]."""
+    return jnp.concatenate(
+        [
+            m.base_color,
+            m.specular,
+            m.emission,
+            m.specular_exponent[:, None],
+            m.refraction_index[:, None],
+            m.opacity[:, None],
+            m.texture_flags.astype(jnp.float32)[:, None],  # bits <= 127: exact
+            jnp.zeros((m.base_color.shape[0], 3), jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 def build_geometry(scene: SceneData, positions_w, prev_positions_w, normals_w) -> Geometry:
@@ -89,20 +124,7 @@ def build_geometry(scene: SceneData, positions_w, prev_positions_w, normals_w) -
     p2 = jnp.take(prev_positions_w, idx[:, 2], axis=0)
     motion_rows = jnp.concatenate([v0, v1, v2, p0, p1, p2], axis=1)
 
-    m = scene.materials
-    mat_rows = jnp.concatenate(
-        [
-            m.base_color,
-            m.specular,
-            m.emission,
-            m.specular_exponent[:, None],
-            m.refraction_index[:, None],
-            m.opacity[:, None],
-            m.texture_flags.astype(jnp.float32)[:, None],  # bits <= 127: exact
-            jnp.zeros((m.base_color.shape[0], 3), jnp.float32),
-        ],
-        axis=1,
-    )
+    mat_rows = pack_mat_rows(scene.materials)
     return Geometry(
         positions_w, prev_positions_w, normals_w, v0, v1, v2,
         shade_rows, motion_rows, mat_rows,
@@ -391,7 +413,7 @@ def trace_tile(
             tri = jnp.maximum(hits.triangle, 0)
             # ONE packed-row gather per stage (shade-row, motion-row, mat-row)
             # replaces ~12 per-attribute gathers — see docs/PERF.md.
-            srow = jnp.take(geom.shade_rows, tri, axis=0)  # (P,16)
+            srow = _tri_rows(geom.shade_rows, tri, geom, settings)  # (P,16)
             res = srow[:, 15].astype(jnp.int32)
             world_point = st["ray_o"] + st["ray_d"] * hits.t[:, None]
 
@@ -403,7 +425,7 @@ def trace_tile(
             # (Raytracing.metal:342-389); interpolation weights as in
             # interpolateVertexAttribute (u->v1, v->v2, 1-u-v->v0)
             primary = hit & (st["bounce"] == 0) & is_sample0
-            mrow = jnp.take(geom.motion_rows, tri, axis=0)  # (P,18)
+            mrow = _tri_rows(geom.motion_rows, tri, geom, settings)  # (P,18)
             obj_pos_w = u_b1 * mrow[:, 3:6] + v_b1 * mrow[:, 6:9] + w_b1 * mrow[:, 0:3]
             prev_pos_w = u_b1 * mrow[:, 12:15] + v_b1 * mrow[:, 15:18] + w_b1 * mrow[:, 9:12]
             sx, sy, pdepth = _project(uniforms.camera, obj_pos_w)

@@ -127,8 +127,11 @@ def test_geometry_sharded_matches_single_chip():
     tfm = np.asarray(data.instance_transform)[np.asarray(data.vertex_instance)]
     pos_w = np.einsum("vij,vj->vi", tfm[:, :3, :3], pos) + tfm[:, :3, 3]
     v0, v1, v2 = pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]]
-    bvhs, shards = G.build_sharded_bvhs(v0, v1, v2, 4)
+    bvhs, gids, row_gids, shards = G.build_sharded_bvhs(v0, v1, v2, 4)
     assert sum(len(s) for s in shards) == idx.shape[0]
+    # triangle-indexed rows are built SHARD-LOCAL inside the step: each
+    # chip's shade/motion rows cover ~T/4 (+pad) triangles, not T
+    assert gids.shape[1] <= (idx.shape[0] + 3) // 4 + 4
 
     step = G.build_gp_render_step(settings, statics, mesh)
     cam = r.current_camera()
@@ -138,6 +141,7 @@ def test_geometry_sharded_matches_single_chip():
     accum, depth, motion = step(
         data, bvhs, uniforms, r.offsets,
         jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w, 2), jnp.float32),
+        gids=gids, row_gids=row_gids,
     )
     np.testing.assert_allclose(np.asarray(accum), single, atol=1e-5)
 
@@ -152,7 +156,7 @@ def test_gp_shard_builder_invariants():
     v0 = (base + rng.random((n, 3)) * 0.1).astype(np.float32)
     v1 = (base + rng.random((n, 3)) * 0.1).astype(np.float32)
     v2 = (base + rng.random((n, 3)) * 0.1).astype(np.float32)
-    stacked, shards = G.build_sharded_bvhs(v0, v1, v2, 4)
+    stacked, gids, row_gids, shards = G.build_sharded_bvhs(v0, v1, v2, 4)
 
     # exact partition of triangle ids
     all_ids = np.concatenate(shards)
@@ -160,11 +164,17 @@ def test_gp_shard_builder_invariants():
     # equalized shapes stack along the leading axis
     assert stacked.table.shape[0] == 4
     assert stacked.node_child.shape[0] == 4
-    # every leaf id is a valid GLOBAL triangle id or padding
+    # leaf ids are shard-LOCAL (refit gathers shard verts); the parallel
+    # row-id array carries the GLOBAL ids reported to shading
     leaves = np.asarray(stacked.leaf_tri)
-    valid = leaves[leaves >= 0]
-    assert valid.min() >= 0 and valid.max() < n
-    # each shard's leaf ids come only from that shard's partition
+    rg = np.asarray(row_gids)
+    g = np.asarray(gids)
     for k in range(4):
-        shard_leaves = set(leaves[k][leaves[k] >= 0].tolist())
-        assert shard_leaves <= set(shards[k].tolist())
+        local = leaves[k][leaves[k] >= 0]
+        assert local.max() < len(shards[k])
+        glob = rg[k][rg[k] >= 0]
+        assert set(glob.tolist()) == set(shards[k].tolist())
+        # row ids = gids[local ids]
+        np.testing.assert_array_equal(
+            rg[k][leaves[k] >= 0], g[k][local]
+        )
