@@ -40,14 +40,15 @@ from .wide import (
     LEAF_K,
     META_OFF,
     ROW,
-    STACK,
     _aabb_children,
     _decode_ids,
     _encode_ids,
     _mt_leaf,
-    _slot_onehot,
     _sort_children,
     _sort_keys_generic,
+    _stack_pop,
+    _stack_push_sorted,
+    _stack_size,
     build_topology_wide,
 )
 
@@ -507,6 +508,90 @@ def _slab_world(row, wo, wd, t_cap):
     return (tn <= tf) & (tf >= 0.0) & (tn <= t_cap)
 
 
+def _step2(bvh: TwoLevelBVH, t_min, st):
+    """One two-level traversal step over a lane-state dict (shared by the
+    chunked and streaming wrappers)."""
+    active = st["sp"] > 0
+    sp = st["sp"]
+    top, stack0 = _stack_pop(st["stack"], active)
+    entry = jnp.where(active, top, 0)
+    sp = jnp.where(active, sp - 1, sp)
+
+    row = jnp.take(bvh.table, entry, axis=0)
+    inst_base = bvh.n_internal + bvh.n_leaf
+    is_inst = entry >= inst_base
+    is_leaf = (entry >= bvh.n_internal) & ~is_inst
+    is_tlas = entry < bvh.tlas_n
+    t_cap = st["best_t"]
+
+    # --- instance rows: re-cull against best_t, switch ray space; the
+    # BLAS root joins the unified push below ------------------------------
+    lane_inst = active & is_inst
+    inst_hit = _slab_world(row, st["wo"], st["wd"], t_cap) & lane_inst
+    new_o = _minv_apply(row[:, _I_MINV : _I_MINV + 12], st["wo"], is_dir=False)
+    new_d = _minv_apply(row[:, _I_MINV : _I_MINV + 12], st["wd"], is_dir=True)
+    st["o"] = jnp.where(inst_hit[:, None], new_o, st["o"])
+    st["d"] = jnp.where(inst_hit[:, None], new_d, st["d"])
+    st["cur_inst"] = jnp.where(
+        inst_hit, _decode_ids(row[:, _I_ID]), st["cur_inst"]
+    )
+    blas_root = _decode_ids(row[:, _I_ROOT])
+
+    # --- current regs (BLAS rows) vs world regs (TLAS rows) ------------
+    o_sel = jnp.where(is_tlas[:, None], st["wo"], st["o"])
+    d_sel = jnp.where(is_tlas[:, None], st["wd"], st["d"])
+    ox, oy, oz = o_sel[:, 0:1], o_sel[:, 1:2], o_sel[:, 2:3]
+    dx, dy, dz = d_sel[:, 0:1], d_sel[:, 1:2], d_sel[:, 2:3]
+    inv = 1.0 / jnp.where(
+        jnp.abs(d_sel) < 1e-12, jnp.where(d_sel < 0, -1e-12, 1e-12), d_sel
+    )
+    ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+
+    # --- leaf rows: LEAF_K-wide MT (object space; t is world units) ----
+    l_hit, l_t, l_u, l_v = _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap[:, None])
+    lane_leaf = active & is_leaf
+    l_t_m = jnp.where(l_hit, l_t, jnp.inf)
+    jbest = jnp.argmin(l_t_m, axis=1)
+    ohK = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :] == jbest[:, None]
+    cand_t = jnp.sum(jnp.where(ohK, l_t_m, 0.0), axis=1)
+    cand_any = jnp.any(l_hit, axis=1)
+    idsK = _decode_ids(row[:, IDS_OFF : IDS_OFF + LEAF_K])
+    cand_tri = jnp.sum(jnp.where(ohK, idsK, 0), axis=1)
+    cand_u = jnp.sum(jnp.where(ohK, l_u, 0.0), axis=1)
+    cand_v = jnp.sum(jnp.where(ohK, l_v, 0.0), axis=1)
+    take = lane_leaf & cand_any & (cand_t < st["best_t"])
+    st["best_t"] = jnp.where(take, cand_t, st["best_t"])
+    st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
+    st["best_inst"] = jnp.where(take, st["cur_inst"], st["best_inst"])
+    st["best_u"] = jnp.where(take, cand_u, st["best_u"])
+    st["best_v"] = jnp.where(take, cand_v, st["best_v"])
+    st["found"] = st["found"] | (lane_leaf & cand_any)
+    sp = jnp.where(st["found"] & st["shadow"], 0, sp)
+
+    # --- internal rows: ARITY child slab tests + ordered push ----------
+    a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
+    meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
+    tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
+    cols_t, cols_m = _sort_children(tA, meta)
+
+    lane_int = active & ~is_leaf & ~is_inst
+    cands = jnp.stack(cols_m, axis=1)  # ascending t: nearest first
+    lane_iota = jnp.arange(ARITY, dtype=jnp.int32)[None, :]
+    # instance lanes push exactly their BLAS root (candidate slot 0)
+    cands = jnp.where(
+        (inst_hit[:, None]) & (lane_iota == 0), blas_root[:, None], cands
+    )
+    finite = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
+    n_push = jnp.where(
+        lane_int, jnp.sum(finite.astype(jnp.int32), axis=1),
+        jnp.where(inst_hit, 1, 0),
+    )
+    st["stack"] = _stack_push_sorted(stack0, cands, n_push)
+    st["sp"] = jnp.minimum(sp + n_push, st["stack"].shape[1])
+    return st
+
+
+
 def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                       window: int, refill_every: int, dead_last: bool):
     n_rays = rays.origin.shape[0]
@@ -575,11 +660,13 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
         ],
         axis=1,
     )
+    # stack bound covers the TLAS chain + one instance hop + the deepest BLAS
+    S = _stack_size(bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
     state = dict(
         ray_id=ids0,
         wo=wo0, wd=wd0, o=wo0, d=wd0,
         cur_inst=jnp.full((W,), -1, jnp.int32),
-        stack=jnp.zeros((W, STACK), jnp.int32),
+        stack=jnp.zeros((W, S), jnp.int32),
         sp=sp0,
         best_t=bt0, best_tri=btri0, best_u=bu0, best_v=bv0, found=f0,
         best_inst=bi0,
@@ -589,81 +676,7 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     )
 
     def step(st):
-        active = st["sp"] > 0
-        sp = st["sp"]
-        top_oh = _slot_onehot(sp - 1, STACK)
-        entry = jnp.sum(jnp.where(top_oh, st["stack"], 0), axis=1)
-        entry = jnp.where(active, entry, 0)
-        sp = jnp.where(active, sp - 1, sp)
-
-        row = jnp.take(table, entry, axis=0)
-        is_inst = entry >= inst_base
-        is_leaf = (entry >= n_i) & ~is_inst
-        is_tlas = entry < tlas_n
-        t_cap = st["best_t"]
-
-        # --- instance rows: re-cull against best_t, switch ray space, push
-        # the BLAS root ----------------------------------------------------
-        lane_inst = active & is_inst
-        inst_hit = _slab_world(row, st["wo"], st["wd"], t_cap) & lane_inst
-        new_o = _minv_apply(row[:, _I_MINV : _I_MINV + 12], st["wo"], is_dir=False)
-        new_d = _minv_apply(row[:, _I_MINV : _I_MINV + 12], st["wd"], is_dir=True)
-        st["o"] = jnp.where(inst_hit[:, None], new_o, st["o"])
-        st["d"] = jnp.where(inst_hit[:, None], new_d, st["d"])
-        st["cur_inst"] = jnp.where(
-            inst_hit, _decode_ids(row[:, _I_ID]), st["cur_inst"]
-        )
-        blas_root = _decode_ids(row[:, _I_ROOT])
-        oh = _slot_onehot(sp, STACK) & inst_hit[:, None]
-        stack = jnp.where(oh, blas_root[:, None], st["stack"])
-        sp = jnp.where(inst_hit, jnp.minimum(sp + 1, STACK), sp)
-
-        # --- current regs (BLAS rows) vs world regs (TLAS rows) ------------
-        o_sel = jnp.where(is_tlas[:, None], st["wo"], st["o"])
-        d_sel = jnp.where(is_tlas[:, None], st["wd"], st["d"])
-        ox, oy, oz = o_sel[:, 0:1], o_sel[:, 1:2], o_sel[:, 2:3]
-        dx, dy, dz = d_sel[:, 0:1], d_sel[:, 1:2], d_sel[:, 2:3]
-        inv = 1.0 / jnp.where(
-            jnp.abs(d_sel) < 1e-12, jnp.where(d_sel < 0, -1e-12, 1e-12), d_sel
-        )
-        ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
-
-        # --- leaf rows: LEAF_K-wide MT (object space; t is world units) ----
-        l_hit, l_t, l_u, l_v = _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap[:, None])
-        lane_leaf = active & is_leaf
-        l_t_m = jnp.where(l_hit, l_t, jnp.inf)
-        jbest = jnp.argmin(l_t_m, axis=1)
-        ohK = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :] == jbest[:, None]
-        cand_t = jnp.sum(jnp.where(ohK, l_t_m, 0.0), axis=1)
-        cand_any = jnp.any(l_hit, axis=1)
-        idsK = _decode_ids(row[:, IDS_OFF : IDS_OFF + LEAF_K])
-        cand_tri = jnp.sum(jnp.where(ohK, idsK, 0), axis=1)
-        cand_u = jnp.sum(jnp.where(ohK, l_u, 0.0), axis=1)
-        cand_v = jnp.sum(jnp.where(ohK, l_v, 0.0), axis=1)
-        take = lane_leaf & cand_any & (cand_t < st["best_t"])
-        st["best_t"] = jnp.where(take, cand_t, st["best_t"])
-        st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
-        st["best_inst"] = jnp.where(take, st["cur_inst"], st["best_inst"])
-        st["best_u"] = jnp.where(take, cand_u, st["best_u"])
-        st["best_v"] = jnp.where(take, cand_v, st["best_v"])
-        st["found"] = st["found"] | (lane_leaf & cand_any)
-        sp = jnp.where(st["found"] & st["shadow"], 0, sp)
-
-        # --- internal rows: ARITY child slab tests + ordered push ----------
-        a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
-        meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
-        tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-        cols_t, cols_m = _sort_children(tA, meta)
-
-        lane_int = active & ~is_leaf & ~is_inst
-        for k in range(ARITY - 1, -1, -1):
-            push = lane_int & jnp.isfinite(cols_t[k])
-            oh = _slot_onehot(sp, STACK) & push[:, None]
-            stack = jnp.where(oh, cols_m[k][:, None], stack)
-            sp = jnp.where(push, jnp.minimum(sp + 1, STACK), sp)
-        st["stack"] = stack
-        st["sp"] = sp
-        return st
+        return _step2(bvh, t_min, st)
 
     def refill(st):
         retired = st["sp"] <= 0
@@ -738,6 +751,69 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     )
 
 
+def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
+                       chunks: int):
+    """Chunked two-level traversal (wide._traverse's execution strategy with
+    the two-level step): the coherence-sorted batch is split into independent
+    while_loops so all-dead chunks exit immediately."""
+    n_rays = rays.origin.shape[0]
+    f32 = jnp.float32
+    live0 = jnp.ones((n_rays,), bool) if mask is None else mask
+    if init is None:
+        init = dict(
+            best_t=jnp.asarray(rays.max_distance, f32),
+            best_tri=jnp.full((n_rays,), -1, jnp.int32),
+            best_u=jnp.zeros((n_rays,), f32),
+            best_v=jnp.zeros((n_rays,), f32),
+            found=jnp.zeros((n_rays,), bool),
+            best_inst=jnp.full((n_rays,), -1, jnp.int32),
+        )
+    S = _stack_size(bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
+
+    def run_flat(o, d, lv, sh, ini):
+        w = o.shape[0]
+        sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
+        st = dict(
+            wo=o, wd=d, o=o, d=d,
+            cur_inst=jnp.full((w,), -1, jnp.int32),
+            stack=jnp.zeros((w, S), jnp.int32),
+            sp=sp0,
+            best_t=ini["best_t"], best_tri=ini["best_tri"],
+            best_u=ini["best_u"], best_v=ini["best_v"],
+            found=ini["found"], best_inst=ini["best_inst"],
+            shadow=sh,
+        )
+        st = jax.lax.while_loop(
+            lambda s: jnp.any(s["sp"] > 0),
+            lambda s: _step2(bvh, t_min, s),
+            st,
+        )
+        return {k: st[k] for k in
+                ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")}
+
+    init = dict(init, best_t=jnp.minimum(init["best_t"],
+                                         jnp.asarray(rays.max_distance, f32)))
+    if chunks > 1 and n_rays % chunks == 0:
+        rc = n_rays // chunks
+
+        def chunk_fn(args):
+            o, d, lv, sh, ini = args
+            return run_flat(o, d, lv, sh, ini)
+
+        st = jax.lax.map(
+            chunk_fn,
+            (
+                rays.origin.reshape(chunks, rc, 3),
+                rays.direction.reshape(chunks, rc, 3),
+                live0.reshape(chunks, rc),
+                shadow.reshape(chunks, rc),
+                {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()},
+            ),
+        )
+        return {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
+    return run_flat(rays.origin, rays.direction, live0, shadow, init)
+
+
 def _prime_decompose(bvh: TwoLevelBVH, prime_flat):
     """FLAT candidate tri ids -> (local tri, instance)."""
     ok = prime_flat >= 0
@@ -754,8 +830,9 @@ def _to_flat(bvh: TwoLevelBVH, local, inst):
 
 
 def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
-               sort_rays: bool = True, stream_window: int = 8192,
-               refill_every: int = 8, prime_tri=None, tri_rows=None):
+               sort_rays: bool = True, stream_window: int = 0,
+               refill_every: int = 8, prime_tri=None, tri_rows=None,
+               chunks: int = 16):
     n_rays = rays.origin.shape[0]
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
     if shadow is None:
@@ -792,10 +869,13 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             best_inst=jnp.where(pok, inst, -1),
         )
 
-    st = _traverse_stream2(
-        bvh, rays, t_min, live0, shadow, init,
-        window=stream_window, refill_every=refill_every, dead_last=sort_rays,
-    )
+    if stream_window > 0:
+        st = _traverse_stream2(
+            bvh, rays, t_min, live0, shadow, init,
+            window=stream_window, refill_every=refill_every, dead_last=sort_rays,
+        )
+    else:
+        st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks)
 
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
@@ -804,15 +884,17 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
 
 
 def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
-                sort_rays: bool = True, stream_window: int = 8192,
+                sort_rays: bool = True, stream_window: int = 0,
                 refill_every: int = 8, prime_tri=None, tri_rows=None,
-                chunks: int = 0) -> Hits:
+                chunks: int = 16) -> Hits:
     """Closest hit; returns FLAT triangle ids (instance tri base + local) so
-    the shade path is identical to the flattened backend's."""
+    the shade path is identical to the flattened backend's. stream_window=0
+    uses the chunked execution strategy (measured faster once the shift-stack
+    made steps cheap, docs/PERF.md round 2)."""
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=None, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
-        prime_tri=prime_tri, tri_rows=tri_rows,
+        prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks,
     )
     found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
     flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
@@ -825,14 +907,14 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
 
 
 def any_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
-            sort_rays: bool = True, stream_window: int = 8192,
+            sort_rays: bool = True, stream_window: int = 0,
             refill_every: int = 8, prime_tri=None, tri_rows=None,
-            return_tri: bool = False, chunks: int = 0):
+            return_tri: bool = False, chunks: int = 16):
     shadow = jnp.ones((rays.origin.shape[0],), bool)
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
-        prime_tri=prime_tri, tri_rows=tri_rows,
+        prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks,
     )
     if return_tri:
         flat = _to_flat(bvh, st["best_tri"], st["best_inst"])

@@ -47,7 +47,14 @@ ROW = 128
 assert max(_INT_USED, _LEAF_USED) <= ROW
 META_OFF = 6 * ARITY
 IDS_OFF = 9 * LEAF_K
-STACK = 40
+STACK = 40  # legacy default; traversal sizes the stack from tree depth
+
+
+def _stack_size(depth: int) -> int:
+    """Worst-case ordered-DFS stack bound: at most (ARITY-1) pending
+    siblings per level (+slack). Sized from the BUILT tree so deep trees
+    cannot silently truncate (advisor round-1 medium)."""
+    return int(min(max(1 + depth * (ARITY - 1), 16), 160))
 
 _EMPTY = -1  # empty child slot
 
@@ -392,6 +399,36 @@ def _slot_onehot(sp: jnp.ndarray, stack_depth: int) -> jnp.ndarray:
     return slots == jnp.clip(sp, 0, stack_depth - 1)[:, None]
 
 
+def _stack_pop(stack, active):
+    """Top-at-slot-0 stack: read the top, shift live lanes left by one.
+    Full-array rolls/selects vectorize on the VPU — the previous per-slot
+    one-hot select chain compiled to a ~330k-cycle scalar kLoop fusion per
+    step (see docs/PERF.md round 2)."""
+    top = stack[:, 0]
+    popped = jnp.concatenate([stack[:, 1:], jnp.zeros_like(stack[:, :1])], axis=1)
+    return top, jnp.where(active[:, None], popped, stack)
+
+
+def _stack_push_sorted(stack, cands, n_push):
+    """Push cands[:, :n_push] (nearest-FIRST) onto a top-at-slot-0 stack:
+    variable right-shift by n via log2 conditional shifts, then overlay the
+    candidates in the first columns. Lanes with n_push == 0 are untouched.
+    Overflow drops the FARTHEST entries off the bottom."""
+    S = stack.shape[1]
+    C = cands.shape[1]
+    shifted = stack
+    b = 1
+    while b <= C:
+        moved = jnp.concatenate(
+            [jnp.zeros_like(shifted[:, :b]), shifted[:, : S - b]], axis=1
+        )
+        shifted = jnp.where(((n_push & b) != 0)[:, None], moved, shifted)
+        b <<= 1
+    lane = jnp.arange(C, dtype=jnp.int32)[None, :]
+    head = jnp.where(lane < n_push[:, None], cands, shifted[:, :C])
+    return jnp.concatenate([head, shifted[:, C:]], axis=1)
+
+
 def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap, K: int = LEAF_K):
     """K-wide Möller–Trumbore on a gathered leaf row. Component-wise on
     (R, K) arrays (no reshapes — keeps everything in 2D vector registers).
@@ -595,12 +632,13 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
     dx, dy, dz = rays.direction[:, 0:1], rays.direction[:, 1:2], rays.direction[:, 2:3]
 
+    S = _stack_size(wbvh.depth)
     sp0 = jnp.ones((n_rays,), jnp.int32)
     if mask is not None:
         sp0 = jnp.where(mask, sp0, 0)
 
     state = dict(
-        stack=jnp.zeros((n_rays, STACK), jnp.int32),  # root id 0 pre-pushed
+        stack=jnp.zeros((n_rays, S), jnp.int32),  # root id 0 pre-pushed (top at slot 0)
         sp=sp0,
         best_t=jnp.asarray(rays.max_distance, jnp.float32),
         best_tri=jnp.full((n_rays,), -1, jnp.int32),
@@ -624,11 +662,8 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     def body(st):
         sp = st["sp"]
         active = (sp > 0) & ~(st["found"] & shadow)
-        # pop via one-hot select (dynamic per-lane indexing is a gather;
-        # S-wide select is pure VPU)
-        top_oh = _slot_onehot(sp - 1, STACK)
-        entry = jnp.sum(jnp.where(top_oh, st["stack"], 0), axis=1)
-        entry = jnp.where(active, entry, 0)
+        top, stack = _stack_pop(st["stack"], active)
+        entry = jnp.where(active, top, 0)
         sp = jnp.where(active, sp - 1, sp)
         if profile:
             st["pops"] = st["pops"] + active.astype(jnp.int32)
@@ -658,19 +693,18 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         st["best_v"] = jnp.where(take, cand_v, st["best_v"])
         st["found"] = st["found"] | (lane_leaf & cand_any)
 
-        # ---- internal: ARITY AABBs, sort, push far-to-near -------------------
+        # ---- internal: ARITY AABBs, sort, push nearest-first ------------------
         a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
         meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
         t8 = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
         cols_t, cols_m = _sort_children(t8, meta)
 
         lane_int = active & ~is_leaf
-        stack = st["stack"]
-        for k in range(ARITY - 1, -1, -1):
-            push = lane_int & jnp.isfinite(cols_t[k])
-            oh = _slot_onehot(sp, STACK) & push[:, None]
-            stack = jnp.where(oh, cols_m[k][:, None], stack)
-            sp = jnp.where(push, jnp.minimum(sp + 1, STACK), sp)
+        cands = jnp.stack(cols_m, axis=1)  # ascending t: nearest first
+        finite = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
+        n_push = jnp.where(lane_int, jnp.sum(finite.astype(jnp.int32), axis=1), 0)
+        stack = _stack_push_sorted(stack, cands, n_push)
+        sp = jnp.minimum(sp + n_push, S)
 
         st["stack"] = stack
         st["sp"] = sp
@@ -771,10 +805,11 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
         ],
         axis=1,
     )
+    S = _stack_size(wbvh.depth)
     state = dict(
         ray_id=ids0,
         o=o0, d=d0,
-        stack=jnp.zeros((W, STACK), jnp.int32),
+        stack=jnp.zeros((W, S), jnp.int32),
         sp=sp0,
         best_t=bt0, best_tri=btri0, best_u=bu0, best_v=bv0, found=f0,
         shadow=sh0,
@@ -789,9 +824,8 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
     def step(st):
         active = st["sp"] > 0
         sp = st["sp"]
-        top_oh = _slot_onehot(sp - 1, STACK)
-        entry = jnp.sum(jnp.where(top_oh, st["stack"], 0), axis=1)
-        entry = jnp.where(active, entry, 0)
+        top, stack0 = _stack_pop(st["stack"], active)
+        entry = jnp.where(active, top, 0)
         sp = jnp.where(active, sp - 1, sp)
         if profile:
             st["pops"] = st["pops"].at[
@@ -835,14 +869,11 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
         cols_t, cols_m = _sort_children(tA, meta)
 
         lane_int = active & ~is_leaf
-        stack = st["stack"]
-        for k in range(ARITY - 1, -1, -1):
-            push = lane_int & jnp.isfinite(cols_t[k])
-            oh = _slot_onehot(sp, STACK) & push[:, None]
-            stack = jnp.where(oh, cols_m[k][:, None], stack)
-            sp = jnp.where(push, jnp.minimum(sp + 1, STACK), sp)
-        st["stack"] = stack
-        st["sp"] = sp
+        cands = jnp.stack(cols_m, axis=1)  # ascending t: nearest first
+        finite = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
+        n_push = jnp.where(lane_int, jnp.sum(finite.astype(jnp.int32), axis=1), 0)
+        st["stack"] = _stack_push_sorted(stack0, cands, n_push)
+        st["sp"] = jnp.minimum(sp + n_push, S)
         return st
 
     def refill(st):

@@ -302,7 +302,8 @@ def trace_tile(
             and not fused
             and not settings.geometry_axis
         )
-        stream_w2 = settings.traversal_stream if settings.traversal_stream > 0 else 8192
+        # chunked (stream_window=0) measured best after the shift-stack fix
+        stream_w2 = settings.traversal_stream
         if priming:
             state.update(
                 occ_prime=prime_s,  # rolling occluder hint (bounce to bounce)
@@ -370,6 +371,7 @@ def trace_tile(
                 hits = twolevel.closest_hit(
                     bvh, rays, mask=active, sort_rays=settings.sort_rays,
                     stream_window=stream_w2, refill_every=settings.stream_refill,
+                    chunks=n_chunks,
                     prime_tri=(jnp.where(st["iter"] == 0, prime_p, -1) if priming else None),
                     tri_rows=(geom.motion_rows if priming else None),
                 )
@@ -655,7 +657,7 @@ def trace_tile(
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
                             sort_rays=settings.sort_rays, stream_window=stream_w2,
-                            refill_every=settings.stream_refill,
+                            refill_every=settings.stream_refill, chunks=n_chunks,
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
@@ -742,7 +744,7 @@ def trace_tile(
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
                             sort_rays=settings.sort_rays, stream_window=stream_w2,
-                            refill_every=settings.stream_refill,
+                            refill_every=settings.stream_refill, chunks=n_chunks,
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,

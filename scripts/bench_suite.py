@@ -89,8 +89,9 @@ def main():
     r.use_motion_adaptive_sampling = False
     results["config4_skinned_refit"] = _measure(r, 4)
 
-    # config 5: interactive orbit, temporal upscale render->output x2
-    w5, h5 = 1920 // scale, 1080 // scale
+    # config 5: interactive orbit, temporal upscale 1080p -> 4K (BASELINE
+    # "interactive 1080p->4K upscaled"); --small quarters both ends
+    w5, h5 = 3840 // scale, 2160 // scale
     s5 = make_app_scene(width=w5 // 2, height=h5 // 2, include_robot=False)
     r = Renderer(s5, output_width=w5, output_height=h5)
     r.upscaler_mode = UPSCALER_TEMPORAL
