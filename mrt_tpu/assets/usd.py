@@ -323,7 +323,7 @@ def _mesh_from_prim(mesh_prim: _Prim) -> MeshData:
         uvs = np.zeros((len(points), 2), np.float32)
 
     color = mesh_prim.attrs.get("primvars:displayColor")
-    base = tuple(color[0]) if color else (0.8, 0.8, 0.8)
+    base = tuple(np.asarray(color[0], np.float32)) if color is not None and len(color) else (0.8, 0.8, 0.8)
     mat = MaterialDef(name=f"{mesh_prim.name}_mat", base_color=base)
     return MeshData(
         positions=points,
@@ -367,7 +367,9 @@ def _skin_info_from(mesh_prim: _Prim, skel_prim: _Prim | None, anim_prim: _Prim 
                 for k, t in enumerate(times):
                     vals = None
                     if samples is not None:
-                        vals = samples.get(t) or samples[min(samples, key=lambda x: abs(x - t))]
+                        vals = samples.get(t)
+                        if vals is None:
+                            vals = samples[min(samples, key=lambda x: abs(x - t))]
                     elif uniform is not None:
                         vals = uniform
                     if vals is not None:
@@ -428,6 +430,12 @@ def load_usda_text(text: str):
     """Parse a usda layer -> (MeshData, skin_info | None). Multiple Mesh prims
     merge into one MeshData with per-mesh submeshes (Mesh.swift:41-58)."""
     root, meta = parse_usda(text)
+    return extract_scene(root, meta)
+
+
+def extract_scene(root: _Prim, meta: dict):
+    """Prim tree (from the usda parser OR the usdc crate reader) ->
+    (MeshData, skin_info | None)."""
     tcps = float(meta.get("timeCodesPerSecond", 24.0))
 
     meshes = root.find("Mesh")
@@ -473,18 +481,21 @@ def load_usdz(path: str | Path):
         if not names:
             raise ValueError(f"{path}: no USD layer in archive")
         data = z.read(names[0])
+    return _load_layer_bytes(data)
+
+
+def _load_layer_bytes(data: bytes):
     if data[:8] == b"PXR-USDC":
-        raise ValueError(
-            f"{path}: binary usdc crate layers are not supported yet; "
-            "export as text-based usdz (usda)"
-        )
+        from .usdc import read_crate_prims
+
+        root, meta = read_crate_prims(data)
+        return extract_scene(root, meta)
     return load_usda_text(data.decode("utf-8"))
 
 
 def load_usd(path: str | Path):
-    """Dispatch .usdz (zip) / .usda / .usd (text) files."""
+    """Dispatch .usdz (zip) / .usdc (binary crate) / .usda / .usd files."""
     p = Path(path)
     if p.suffix.lower() == ".usdz":
         return load_usdz(p)
-    text = p.read_text()
-    return load_usda_text(text)
+    return _load_layer_bytes(p.read_bytes())

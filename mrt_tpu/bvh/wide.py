@@ -10,14 +10,19 @@ traversal step needs into ONE ROW-float row:
   child entry ids (int32 bitcast)
 * leaf row: LEAF_K whole triangles [v0x*K|...|v2z*K] + LEAF_K tri ids
 
-Tuned 12/8/128 (16/12 and 8/4/64 measured slower end-to-end).
+Tuned 12/8/128. Re-measured in round 2 after the shift-stack fix: 16/12
+(more tree per gather, same 128-f32 row, same pow2 sort network) still lost
+slightly at 1080p (1.43 vs 1.46 flat, 1.35 vs 1.41 two-level) — the extra
+VPU width costs more than the ~20% row savings buys.
 
 One unified table (internal rows first, then leaf rows) means each loop
 iteration does exactly one row gather; a lane decodes its row as internal or
-leaf locally. The per-ray stack is a (R, S) array updated with one-hot
-selects (a scatter would be another gather-class op); children are pushed
-far-to-near after an 8-wide bitonic sort by entry distance so the nearest
-child pops first and best-t prunes the rest.
+leaf locally. The per-ray stack is a (R, S) SHIFT STACK with the top at slot
+0: pop = conditional left-shift, push = variable right-shift (log2
+conditional rolls) + overlay of the bitonic-t-sorted children, nearest
+first, so the nearest child pops first and best-t prunes the rest. (The
+earlier per-slot one-hot select chain compiled to a scalar-rate kLoop
+fusion ~20x slower — docs/PERF.md round 2.)
 
 Topology is collapsed host-side from the binary Karras tree (lbvh.py);
 AABB refit runs on device with a fixed trip count so skinning/instance motion

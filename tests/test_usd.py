@@ -108,3 +108,40 @@ def test_usdz_preferred_resolution(tmp_path, monkeypatch):
         assert m.skin is not None and m.skin.animation is not None
     finally:
         scene_mod._MESH_CACHE.pop("tube", None)
+
+
+def test_usdc_crate_matches_usda_fixture():
+    """The binary crate reader (assets/usdc.py) must decode the crate-encoded
+    tube to the same mesh/skeleton/animation as the text fixture."""
+    from mrt_tpu.skinning.animation import compute_joint_matrices
+
+    mesh_c, skin_c = load_usdz("tests/fixtures/tube_crate.usdz")
+    mesh_a, skin_a = load_usdz(FIXTURE)
+    np.testing.assert_allclose(mesh_c.positions, mesh_a.positions, atol=1e-5)
+    assert mesh_c.triangle_count == mesh_a.triangle_count
+    assert skin_c["skeleton"].joint_paths == skin_a["skeleton"].joint_paths
+    np.testing.assert_allclose(
+        skin_c["joint_weights"], skin_a["joint_weights"], atol=1e-4
+    )
+    for t in (0.0, 0.3, 0.8):
+        np.testing.assert_allclose(
+            compute_joint_matrices(skin_c["skeleton"], skin_c["animation"], t),
+            compute_joint_matrices(skin_a["skeleton"], skin_a["animation"], t),
+            atol=2e-3,  # usda fixture quantizes rotations to 6 decimals
+        )
+
+
+def test_usdc_roundtrip_primitives():
+    """Writer->reader round trip of the crate building blocks."""
+    import numpy as np
+
+    from mrt_tpu.assets import usdc
+
+    # lz4 + TfFastCompression framing
+    for payload in (b"", b"a", b"hello world" * 50, bytes(range(256)) * 7):
+        assert usdc.tf_decompress(usdc.tf_compress(payload), len(payload)) == payload
+    # integer codec
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-(2**30), 2**30, 257)
+    dec = usdc.decode_integers(usdc.encode_integers(vals), len(vals))
+    np.testing.assert_array_equal(dec, vals)
