@@ -52,9 +52,6 @@ ROW = 128
 assert max(_INT_USED, _LEAF_USED) <= ROW
 META_OFF = 6 * ARITY
 IDS_OFF = 9 * LEAF_K
-STACK = 40  # legacy default; traversal sizes the stack from tree depth
-
-
 def _stack_size(depth: int) -> int:
     """Worst-case ordered-DFS stack bound: at most (ARITY-1) pending
     siblings per level (+slack). Sized from the BUILT tree so deep trees
@@ -396,12 +393,6 @@ def _sort_children(t: jnp.ndarray, m: jnp.ndarray):
         cols_t[a], cols_t[b] = ta, tb
         cols_m[a], cols_m[b] = ma, mb
     return cols_t[:ARITY], cols_m[:ARITY]
-
-
-def _slot_onehot(sp: jnp.ndarray, stack_depth: int) -> jnp.ndarray:
-    """(R, S) one-hot of slot sp (clamped)."""
-    slots = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
-    return slots == jnp.clip(sp, 0, stack_depth - 1)[:, None]
 
 
 def _stack_pop(stack, active):

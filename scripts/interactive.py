@@ -103,6 +103,12 @@ def main():
             elif cmd == "stats":
                 print(r.stats.report())
                 continue
+            elif cmd == "instancing":  # two-level BLAS/TLAS on/off
+                r.two_level = args[0] in ("1", "on", "true")
+            elif cmd == "stream":  # traversal stream window (0 = chunked)
+                r.traversal_stream = int(args[0])
+            elif cmd == "priming":  # hit/occluder priming on/off
+                r.hit_priming = args[0] in ("1", "on", "true")
             else:
                 print("unknown command:", cmd)
                 continue
