@@ -63,13 +63,14 @@ def temporal_upscale(
     sy = out_h / h
     sx = out_w / w
 
-    # Upsample current color + depth + motion to output res (bilinear).
-    rows = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / sy - 0.5
-    cols = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / sx - 0.5
-    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
-    cur, _ = _bilinear_sample(color, rr, cc)
-    dep, _ = _bilinear_sample(depth[..., None], rr, cc)
-    mot, _ = _bilinear_sample(motion, rr, cc)
+    # Upsample current color + depth + motion to output res. These are
+    # FIXED-ratio resamples: jax.image.resize lowers to convolutions instead
+    # of 8M+ per-pixel gathers (measured seconds per 4K frame, PERF.md r2).
+    import jax
+
+    cur = jax.image.resize(color, (out_h, out_w, 3), method="bilinear")
+    dep = jax.image.resize(depth[..., None], (out_h, out_w, 1), method="bilinear")
+    mot = jax.image.resize(motion, (out_h, out_w, 2), method="bilinear")
     mot = mot * jnp.asarray([sx, sy], jnp.float32)  # motion in output pixels
 
     # Reproject history: display +Y down == -row in our bottom-up buffers.
