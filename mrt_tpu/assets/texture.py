@@ -7,9 +7,12 @@ a hit gathers its resource's rect and bilinearly samples inside it with
 repeat addressing. Fallback colors follow SubMesh.swift:176-241 (white /
 black / neutral-normal 1x1 tiles).
 
-Note on mipmaps: the reference generates them but its compute-kernel
-``sample()`` has no derivatives, so Metal samples LOD 0 — we match that and
-sample level 0 bilinear only.
+Mipmaps: the reference generates them (SubMesh.swift:189-206) but its
+compute-kernel ``sample()`` has no derivatives, so Metal samples LOD 0
+(Raytracing.metal:421). We generate a full mip chain at pack time and
+optionally sample it trilinearly with a ray-cone LOD (``sample_trilinear``)
+— a beyond-reference feature, OFF by default (``RenderSettings.use_mipmaps``)
+so default output matches the reference semantics exactly.
 
 sRGB: baseColor maps are sRGB-decoded to linear at pack time
 (``type: .sRGB`` load at SubMesh.swift:187).
@@ -46,12 +49,18 @@ _FALLBACKS = {
 }
 
 
+MAX_MIPS = 12  # level-0 up to 2048px wide fits; deeper chains clamp
+
+
 class TextureAtlas(NamedTuple):
     """Device atlas + per-(resource, map-type) rects."""
 
     texels: jnp.ndarray  # (H, W, 3) f32 linear
-    rects: jnp.ndarray  # (R, N_MAP_TYPES, 4) int32: x0, y0, w, h
+    rects: jnp.ndarray  # (R, N_MAP_TYPES, 4) int32: x0, y0, w, h (level 0)
     has_map: jnp.ndarray  # (R, N_MAP_TYPES) bool
+    # mip chain: level-l rect per (resource, map); level 0 == rects
+    mip_rects: jnp.ndarray  # (R, N_MAP_TYPES, MAX_MIPS, 4) int32
+    n_levels: jnp.ndarray  # (R, N_MAP_TYPES) int32 >= 1
 
     @property
     def height(self) -> int:
@@ -109,6 +118,19 @@ class AtlasBuilder:
         self._images.append((img, x0, y0))
         return x0, y0
 
+    @staticmethod
+    def _downsample(img: np.ndarray) -> np.ndarray:
+        """2x2 box filter (the mipmap generation the reference gets from
+        generateMipmaps, SubMesh.swift:189-206). Odd dims replicate the edge."""
+        h, w = img.shape[:2]
+        if h % 2:
+            img = np.concatenate([img, img[-1:]], axis=0)
+            h += 1
+        if w % 2:
+            img = np.concatenate([img, img[:, -1:]], axis=1)
+            w += 1
+        return img.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3)).astype(np.float32)
+
     def add_resource(self, maps: dict[int, str | np.ndarray | None]) -> int:
         """Register one resource (submesh). ``maps`` maps MAP_* -> path/array/None.
         Returns the resource index."""
@@ -122,8 +144,7 @@ class AtlasBuilder:
                 # DIFFERENT texels, so they must not share a rect
                 pkey = (src, map_type in _SRGB_MAPS)
                 if pkey in self._by_path:
-                    rect = self._by_path[pkey]
-                    entry[map_type] = (rect, True)
+                    entry[map_type] = (self._by_path[pkey], True)
                     continue
                 img = load_image(src)
             elif isinstance(src, np.ndarray):
@@ -131,15 +152,22 @@ class AtlasBuilder:
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
             if img is None:
-                entry[map_type] = ((0, 0, 1, 1), False)
+                entry[map_type] = ([(0, 0, 1, 1)], False)
                 continue
             if map_type in _SRGB_MAPS:
                 img = srgb_to_linear(img)
-            x0, y0 = self._place(img)
-            rect = (x0, y0, img.shape[1], img.shape[0])
+            # place the full mip chain; level 0 first
+            chain = []
+            level = img
+            while len(chain) < MAX_MIPS:
+                x0, y0 = self._place(level)
+                chain.append((x0, y0, level.shape[1], level.shape[0]))
+                if max(level.shape[0], level.shape[1]) <= 1:
+                    break
+                level = self._downsample(level)
             if isinstance(src, str):
-                self._by_path[(src, map_type in _SRGB_MAPS)] = rect
-            entry[map_type] = (rect, True)
+                self._by_path[(src, map_type in _SRGB_MAPS)] = chain
+            entry[map_type] = (chain, True)
         self._resources.append(entry)
         return len(self._resources) - 1
 
@@ -161,16 +189,23 @@ class AtlasBuilder:
 
         rects = np.zeros((n_res, N_MAP_TYPES, 4), np.int32)
         has = np.zeros((n_res, N_MAP_TYPES), bool)
+        mip_rects = np.zeros((n_res, N_MAP_TYPES, MAX_MIPS, 4), np.int32)
+        n_levels = np.ones((n_res, N_MAP_TYPES), np.int32)
         for r in range(n_res):
             entry = self._resources[r] if r < len(self._resources) else {}
             for map_type in range(N_MAP_TYPES):
-                rect, present = entry.get(map_type, ((0, 0, 1, 1), False))
+                chain, present = entry.get(map_type, ([(0, 0, 1, 1)], False))
                 if not present:
-                    rect = fb_rects[map_type]
-                rects[r, map_type] = rect
+                    chain = [fb_rects[map_type]]
+                rects[r, map_type] = chain[0]
                 has[r, map_type] = present
+                n_levels[r, map_type] = len(chain)
+                for li in range(MAX_MIPS):
+                    mip_rects[r, map_type, li] = chain[min(li, len(chain) - 1)]
         return TextureAtlas(
-            texels=jnp.asarray(texels), rects=jnp.asarray(rects), has_map=jnp.asarray(has)
+            texels=jnp.asarray(texels), rects=jnp.asarray(rects),
+            has_map=jnp.asarray(has), mip_rects=jnp.asarray(mip_rects),
+            n_levels=jnp.asarray(n_levels),
         )
 
 
@@ -181,6 +216,37 @@ def sample_bilinear(atlas: TextureAtlas, resource: jnp.ndarray, map_type: int, u
     resource: (R,) int32 per-ray resource ids. uv: (R, 2). Returns (R, 3).
     """
     rect = atlas.rects[resource, map_type]  # (R,4)
+    return _bilinear_rect(atlas, rect, uv)
+
+
+def sample_trilinear(atlas: TextureAtlas, resource: jnp.ndarray, map_type: int,
+                     uv: jnp.ndarray, lod_base: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear mip sample with a ray-cone LOD (beyond-reference: the Metal
+    compute kernel has no derivatives and reads LOD 0, Raytracing.metal:421).
+
+    ``lod_base``: (R,) log2 of the ray-cone footprint in UV units; the
+    per-map LOD adds log2 of the map's level-0 texel size so one footprint
+    drives all maps of a hit regardless of their resolutions.
+    """
+    f32 = jnp.float32
+    r0 = atlas.rects[resource, map_type]
+    nl = atlas.n_levels[resource, map_type].astype(f32)
+    size0 = jnp.maximum(r0[:, 2].astype(f32) * r0[:, 3].astype(f32), 1.0)
+    lod = jnp.clip(lod_base + 0.5 * jnp.log2(size0), 0.0, nl - 1.0)
+    l0 = jnp.floor(lod)
+    l1 = jnp.minimum(l0 + 1.0, nl - 1.0)
+    frac = (lod - l0)[:, None]
+    flat_mr = atlas.mip_rects.reshape(-1, 4)
+    base = (resource * N_MAP_TYPES + map_type) * MAX_MIPS
+    rect0 = jnp.take(flat_mr, base + l0.astype(jnp.int32), axis=0)
+    rect1 = jnp.take(flat_mr, base + l1.astype(jnp.int32), axis=0)
+    c0 = _bilinear_rect(atlas, rect0, uv)
+    c1 = _bilinear_rect(atlas, rect1, uv)
+    return c0 * (1.0 - frac) + c1 * frac
+
+
+def _bilinear_rect(atlas: TextureAtlas, rect: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample with repeat addressing inside a per-lane rect (R,4)."""
     x0 = rect[:, 0].astype(jnp.float32)
     y0 = rect[:, 1].astype(jnp.float32)
     w = rect[:, 2].astype(jnp.float32)

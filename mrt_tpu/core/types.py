@@ -233,6 +233,10 @@ class RenderSettings:
     # app scene (the per-call candidate gather outweighs the step savings;
     # chunked tails don't shrink with mean steps) — see docs/PERF.md round 2.
     hit_priming: bool = False
+    # Trilinear mipmap sampling with ray-cone LODs (assets/texture.py).
+    # Beyond-reference: the Metal compute kernel reads LOD 0
+    # (Raytracing.metal:421) — OFF keeps reference-exact texture output.
+    use_mipmaps: bool = False
 
     @property
     def base_samples(self) -> int:

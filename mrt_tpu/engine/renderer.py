@@ -34,6 +34,7 @@ from . import scene as scene_mod
 _RESET_PROPS = {
     "samples_per_pixel",
     "max_bounces",
+    "use_mipmaps",
     "accumulation_weight",
     "use_motion_adaptive_accumulation",
     "motion_accumulation_min_weight",
@@ -213,6 +214,8 @@ class Renderer:
         self.two_level = T.RenderSettings.two_level
         self.traversal_stream = T.RenderSettings.traversal_stream
         self.stream_refill = T.RenderSettings.stream_refill
+        self.fuse_shadow_rays = T.RenderSettings.fuse_shadow_rays
+        self.use_mipmaps = T.RenderSettings.use_mipmaps
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -299,6 +302,8 @@ class Renderer:
             two_level=self.two_level,
             traversal_stream=self.traversal_stream,
             stream_refill=self.stream_refill,
+            fuse_shadow_rays=self.fuse_shadow_rays,
+            use_mipmaps=self.use_mipmaps,
         )
 
     # -- state -------------------------------------------------------------------

@@ -282,6 +282,9 @@ def trace_tile(
             wrote_gb=jnp.zeros((P,), bool),
             rays=jnp.zeros((P,), jnp.int32),
             iter=jnp.zeros((), jnp.int32),
+            # accumulated path length driving the ray-cone mip LOD
+            # (use_mipmaps; beyond-reference — Metal samples LOD 0)
+            cone_t=jnp.zeros((P,), f32),
         )
         two_level = (
             settings.two_level
@@ -447,6 +450,36 @@ def trace_tile(
             degenerate = S.length(nrm_raw) < 1e-10
             nrm = jnp.where(degenerate[:, None], -st["ray_d"], S.normalize(nrm_raw))
 
+            # --- ray-cone mip LOD (use_mipmaps; beyond-reference) ------------
+            # Cone radius grows linearly with path length at the pixel's
+            # angular size; the footprint is converted to UV units via the
+            # hit triangle's uv-area/world-area ratio (isotropic approx).
+            if settings.use_mipmaps:
+                dist = st["cone_t"] + jnp.where(hit, hits.t, 0.0)
+                up_len = jnp.sqrt(jnp.sum(uniforms.camera.up ** 2))
+                fwd_len = jnp.sqrt(jnp.sum(uniforms.camera.forward ** 2))
+                pixel_angle = 2.0 * up_len / (height_f * jnp.maximum(fwd_len, 1e-5))
+                e1w = mrow[:, 3:6] - mrow[:, 0:3]
+                e2w = mrow[:, 6:9] - mrow[:, 0:3]
+                world_area = 0.5 * S.length(jnp.cross(e1w, e2w))
+                du1 = srow[:, 11:13] - srow[:, 9:11]
+                du2 = srow[:, 13:15] - srow[:, 9:11]
+                uv_area = 0.5 * jnp.abs(du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0])
+                cos_inc = jnp.maximum(jnp.abs(S.dot3(st["ray_d"], nrm)), 0.25)
+                footprint_w = dist * pixel_angle / cos_inc
+                footprint_uv = footprint_w * jnp.sqrt(
+                    uv_area / jnp.maximum(world_area, 1e-12)
+                )
+                lod_base = jnp.log2(jnp.maximum(footprint_uv, 1e-8))
+                st["cone_t"] = st["cone_t"] + jnp.where(hit, hits.t, 0.0)
+
+                def tex_sample(map_type):
+                    return tex.sample_trilinear(
+                        scene.atlas, res, map_type, tex_coord, lod_base)
+            else:
+                def tex_sample(map_type):
+                    return tex.sample_bilinear(scene.atlas, res, map_type, tex_coord)
+
             # --- material + textures (Raytracing.metal:399-456) --------------
             matrow = jnp.take(geom.mat_rows, res, axis=0)  # (P,16)
             albedo = matrow[:, 0:3]
@@ -459,34 +492,34 @@ def trace_tile(
 
             base_sample = jnp.ones((P, 3), f32)
             if statics.any_map[tex.MAP_BASECOLOR]:
-                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_BASECOLOR, tex_coord)
+                s = tex_sample(tex.MAP_BASECOLOR)
                 m = has(T.MATERIAL_TEXTURE_BASECOLOR)[:, None]
                 base_sample = jnp.where(m, s, base_sample)
                 albedo = jnp.where(m, albedo * s, albedo)
 
             roughness = jnp.ones((P,), f32)
             if statics.any_map[tex.MAP_ROUGHNESS]:
-                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_ROUGHNESS, tex_coord)[:, 0]
+                s = tex_sample(tex.MAP_ROUGHNESS)[:, 0]
                 roughness = jnp.where(has(T.MATERIAL_TEXTURE_ROUGHNESS), s, roughness)
 
             metallic = jnp.zeros((P,), f32)
             if statics.any_map[tex.MAP_METALLIC]:
-                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_METALLIC, tex_coord)[:, 0]
+                s = tex_sample(tex.MAP_METALLIC)[:, 0]
                 metallic = jnp.where(has(T.MATERIAL_TEXTURE_METALLIC), s, metallic)
 
             ao = jnp.ones((P,), f32)
             if T.ENABLE_AO and statics.any_map[tex.MAP_AO]:
-                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_AO, tex_coord)[:, 0]
+                s = tex_sample(tex.MAP_AO)[:, 0]
                 ao = jnp.where(has(T.MATERIAL_TEXTURE_AO), s, ao)
 
             opacity = jnp.clip(matrow[:, 11], 0.0, 1.0)
             if statics.any_map[tex.MAP_OPACITY]:
-                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_OPACITY, tex_coord)[:, 0]
+                s = tex_sample(tex.MAP_OPACITY)[:, 0]
                 opacity = jnp.where(has(T.MATERIAL_TEXTURE_OPACITY), opacity * s, opacity)
 
             emission = matrow[:, 6:9]
             if statics.any_map[tex.MAP_EMISSION]:
-                s = tex.sample_bilinear(scene.atlas, res, tex.MAP_EMISSION, tex_coord)
+                s = tex_sample(tex.MAP_EMISSION)
                 emission = jnp.where(has(T.MATERIAL_TEXTURE_EMISSION)[:, None], s, emission)
 
             # --- debug visualization (Raytracing.metal:459-490) --------------
@@ -497,7 +530,7 @@ def trace_tile(
                     debug = jnp.where(has(T.MATERIAL_TEXTURE_BASECOLOR)[:, None], base_sample, magenta)
                 elif dm == T.DEBUG_MODE_NORMAL:
                     if statics.any_map[tex.MAP_NORMAL]:
-                        nmap = tex.sample_bilinear(scene.atlas, res, tex.MAP_NORMAL, tex_coord)
+                        nmap = tex_sample(tex.MAP_NORMAL)
                         debug = jnp.where(has(T.MATERIAL_TEXTURE_NORMAL)[:, None], nmap, nrm * 0.5 + 0.5)
                     else:
                         debug = nrm * 0.5 + 0.5
@@ -531,7 +564,7 @@ def trace_tile(
                 )
                 world_t = S.normalize(tangent - nrm * S.dot3(tangent, nrm)[:, None])
                 world_b = S.normalize(jnp.cross(nrm, world_t))
-                nmap = tex.sample_bilinear(scene.atlas, res, tex.MAP_NORMAL, tex_coord) * 2.0 - 1.0
+                nmap = tex_sample(tex.MAP_NORMAL) * 2.0 - 1.0
                 mapped = S.normalize(
                     nmap[:, 0:1] * world_t + nmap[:, 1:2] * world_b + nmap[:, 2:3] * nrm
                 )
