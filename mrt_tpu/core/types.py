@@ -237,6 +237,11 @@ class RenderSettings:
     # Beyond-reference: the Metal compute kernel reads LOD 0
     # (Raytracing.metal:421) — OFF keeps reference-exact texture output.
     use_mipmaps: bool = False
+    # Light selection strategy. "uniform" = reference parity (1-of-N pick,
+    # xN compensation, Raytracing.metal:587-647). "power" = importance-sample
+    # by luminance x area with 1/pmf compensation — beyond-reference; lower
+    # variance on scenes with strongly unequal lights; unbiased either way.
+    light_sampling: str = "uniform"
 
     @property
     def base_samples(self) -> int:

@@ -35,6 +35,7 @@ _RESET_PROPS = {
     "samples_per_pixel",
     "max_bounces",
     "use_mipmaps",
+    "light_sampling",
     "accumulation_weight",
     "use_motion_adaptive_accumulation",
     "motion_accumulation_min_weight",
@@ -216,6 +217,7 @@ class Renderer:
         self.stream_refill = T.RenderSettings.stream_refill
         self.fuse_shadow_rays = T.RenderSettings.fuse_shadow_rays
         self.use_mipmaps = T.RenderSettings.use_mipmaps
+        self.light_sampling = T.RenderSettings.light_sampling
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -304,6 +306,7 @@ class Renderer:
             stream_refill=self.stream_refill,
             fuse_shadow_rays=self.fuse_shadow_rays,
             use_mipmaps=self.use_mipmaps,
+            light_sampling=self.light_sampling,
         )
 
     # -- state -------------------------------------------------------------------

@@ -650,13 +650,33 @@ def trace_tile(
             # --- pick 1 of N lights (Raytracing.metal:587-647) ---------------
             n_lights = statics.n_lights
             light_sample = H.halton(hidx, H.dim_light_pick(st["step"]))
-            light_index = jnp.minimum(
-                (light_sample * n_lights).astype(jnp.int32), n_lights - 1
-            )
+            if settings.light_sampling == "power" and n_lights > 1:
+                # power-proportional pick (beyond-reference): pmf ~ luminance
+                # x (area for area lights); 1/pmf compensation keeps the
+                # estimator unbiased while uniform is the reference default.
+                lum = jnp.maximum(jnp.sum(jnp.abs(scene.lights.color), axis=1), 1e-6)
+                area = jnp.linalg.norm(
+                    jnp.cross(scene.lights.right, scene.lights.up), axis=1
+                )
+                wgt = jnp.where(
+                    scene.lights.type == T.LIGHT_TYPE_AREA,
+                    lum * jnp.maximum(area, 1e-6), lum,
+                )
+                pmf = wgt / jnp.sum(wgt)
+                cdf = jnp.cumsum(pmf)
+                light_index = jnp.clip(
+                    jnp.searchsorted(cdf, light_sample), 0, n_lights - 1
+                ).astype(jnp.int32)
+                light_weight = (1.0 / jnp.maximum(jnp.take(pmf, light_index), 1e-8))[:, None]
+            else:
+                light_index = jnp.minimum(
+                    (light_sample * n_lights).astype(jnp.int32), n_lights - 1
+                )
+                light_weight = f32(n_lights)  # 1-of-N compensation, :647
             da, db = H.dim_area_sample(st["step"])
             u_area = jnp.stack([H.halton(hidx, da), H.halton(hidx, db)], -1)
             l_dir, l_col, l_dist = S.evaluate_light(scene.lights, light_index, u_area, world_point)
-            l_col = l_col * f32(n_lights)  # 1-of-N compensation, :647
+            l_col = l_col * light_weight
 
             # --- shading -----------------------------------------------------
             if settings.shading_mode == T.SHADING_MODE_LEGACY:

@@ -23,6 +23,10 @@ import numpy as np
 
 def summarize(txt, label):
     print(f"==== {label}: {len(txt)/1e6:.1f} MB of HLO text")
+    out = "/tmp/hlo_" + label.split()[0] + ".txt"
+    with open(out, "w") as f:
+        f.write(txt)
+    print("  saved:", out)
     # gather ops and their operand layouts
     pat = re.compile(r"S\((\d+)\)")
     spaces = {}
