@@ -275,6 +275,10 @@ def trace_tile(
             had_primary=jnp.zeros((P,), bool),
             depth=jnp.full((P,), 1.0e8, f32),  # "far" init, Raytracing.metal:252
             motion=jnp.zeros((P, 2), f32),
+            # last bounce-0 hit record; depth/motion projected post-loop
+            prim_tri=jnp.full((P,), -1, jnp.int32),
+            prim_u=jnp.zeros((P,), f32),
+            prim_v=jnp.zeros((P,), f32),
             gb_diff=zero3,
             gb_spec=zero3,
             gb_norm=zero3,
@@ -427,22 +431,35 @@ def trace_tile(
             w_b1 = 1.0 - u_b1 - v_b1
 
             # --- primary depth + motion (bounce 0, sample 0) -----------------
-            # (Raytracing.metal:342-389); interpolation weights as in
-            # interpolateVertexAttribute (u->v1, v->v2, 1-u-v->v0)
+            # (Raytracing.metal:342-389). The motion-row gather + projection
+            # math only matter for the LAST bounce-0 hit, so the loop records
+            # (tri, u, v) and the projection runs ONCE after the loop — the
+            # per-iteration gather was a measured ~0.45 ms/iter fusion at 65k
+            # lanes (docs/PERF.md round 2b). The in-loop path is kept only
+            # for the motion debug view, which displays motion mid-loop.
             primary = hit & (st["bounce"] == 0) & is_sample0
-            mrow = _tri_rows(geom.motion_rows, tri, geom, settings)  # (P,18)
-            obj_pos_w = u_b1 * mrow[:, 3:6] + v_b1 * mrow[:, 6:9] + w_b1 * mrow[:, 0:3]
-            prev_pos_w = u_b1 * mrow[:, 12:15] + v_b1 * mrow[:, 15:18] + w_b1 * mrow[:, 9:12]
-            sx, sy, pdepth = _project(uniforms.camera, obj_pos_w)
-            psx, psy, _ = _project(uniforms.previous_camera, prev_pos_w)
-            right_scale = jnp.maximum(S.length(uniforms.camera.right), 1e-5)
-            up_scale = jnp.maximum(S.length(uniforms.camera.up), 1e-5)
-            motion_px_x = (sx - psx) * (width_f / (2.0 * right_scale))
-            motion_px_y = -((sy - psy) * (height_f / (2.0 * up_scale)))  # +Y down
-            st["depth"] = jnp.where(primary, jnp.maximum(pdepth, 1.0e-3), st["depth"])
-            st["motion"] = jnp.where(
-                primary[:, None], jnp.stack([motion_px_x, motion_px_y], -1), st["motion"]
+            need_mrow_inloop = (
+                settings.use_mipmaps or settings.debug_mode == T.DEBUG_MODE_MOTION
             )
+            if need_mrow_inloop:
+                mrow = _tri_rows(geom.motion_rows, tri, geom, settings)  # (P,18)
+            if settings.debug_mode == T.DEBUG_MODE_MOTION:
+                obj_pos_w = u_b1 * mrow[:, 3:6] + v_b1 * mrow[:, 6:9] + w_b1 * mrow[:, 0:3]
+                prev_pos_w = u_b1 * mrow[:, 12:15] + v_b1 * mrow[:, 15:18] + w_b1 * mrow[:, 9:12]
+                sx, sy, pdepth = _project(uniforms.camera, obj_pos_w)
+                psx, psy, _ = _project(uniforms.previous_camera, prev_pos_w)
+                right_scale = jnp.maximum(S.length(uniforms.camera.right), 1e-5)
+                up_scale = jnp.maximum(S.length(uniforms.camera.up), 1e-5)
+                motion_px_x = (sx - psx) * (width_f / (2.0 * right_scale))
+                motion_px_y = -((sy - psy) * (height_f / (2.0 * up_scale)))  # +Y down
+                st["depth"] = jnp.where(primary, jnp.maximum(pdepth, 1.0e-3), st["depth"])
+                st["motion"] = jnp.where(
+                    primary[:, None], jnp.stack([motion_px_x, motion_px_y], -1), st["motion"]
+                )
+            else:
+                st["prim_tri"] = jnp.where(primary, hits.triangle, st["prim_tri"])
+                st["prim_u"] = jnp.where(primary, hits.u, st["prim_u"])
+                st["prim_v"] = jnp.where(primary, hits.v, st["prim_v"])
             st["had_primary"] = st["had_primary"] | primary
 
             # --- surface normal (Raytracing.metal:391-397) -------------------
@@ -855,6 +872,28 @@ def trace_tile(
             return st
 
         st = jax.lax.while_loop(cond, body, state)
+        if settings.debug_mode != T.DEBUG_MODE_MOTION:
+            # post-loop primary depth/motion from the recorded bounce-0 hit:
+            # identical expressions to the reference path (Raytracing.metal:
+            # 342-389), evaluated once per sample instead of per iteration
+            tri_p = jnp.maximum(st["prim_tri"], 0)
+            u_p = st["prim_u"][:, None]
+            v_p = st["prim_v"][:, None]
+            w_p = 1.0 - u_p - v_p
+            mrow_p = _tri_rows(geom.motion_rows, tri_p, geom, settings)
+            obj_pos_w = u_p * mrow_p[:, 3:6] + v_p * mrow_p[:, 6:9] + w_p * mrow_p[:, 0:3]
+            prev_pos_w = u_p * mrow_p[:, 12:15] + v_p * mrow_p[:, 15:18] + w_p * mrow_p[:, 9:12]
+            sx, sy, pdepth = _project(uniforms.camera, obj_pos_w)
+            psx, psy, _ = _project(uniforms.previous_camera, prev_pos_w)
+            right_scale = jnp.maximum(S.length(uniforms.camera.right), 1e-5)
+            up_scale = jnp.maximum(S.length(uniforms.camera.up), 1e-5)
+            motion_px_x = (sx - psx) * (width_f / (2.0 * right_scale))
+            motion_px_y = -((sy - psy) * (height_f / (2.0 * up_scale)))  # +Y down
+            prim_ok = st["prim_tri"] >= 0
+            st["depth"] = jnp.where(prim_ok, jnp.maximum(pdepth, 1.0e-3), st["depth"])
+            st["motion"] = jnp.where(
+                prim_ok[:, None], jnp.stack([motion_px_x, motion_px_y], -1), st["motion"]
+            )
         new_pp = st["prim_out"] if priming else prime_p
         new_ps = st["ps_out"] if priming else prime_s
         return (

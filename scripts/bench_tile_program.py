@@ -36,6 +36,10 @@ def main():
     r.max_bounces = 4
     r.use_motion_adaptive_sampling = False
     r.two_level = two_level
+    if "--nosort" in sys.argv:
+        r.sort_rays = False
+    if "--chunks" in sys.argv:
+        r.traversal_chunks = int(sys.argv[sys.argv.index("--chunks") + 1])
 
     cam = r.current_camera()
     uniforms = T.make_frame_uniforms(
