@@ -62,16 +62,9 @@ VIEW_MODE_WORLD = "world"
 VIEW_MODE_TPS = "tps"
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion,
-                  skin_bundle=(), joint_matrices=(), prime_primary=None, prime_shadow=None):
-    """One frame: skinning -> transforms -> refit -> trace tiles -> accumulate.
-
-    offsets: (H,W) int32; prev_accum: (H,W,3); prev_motion: (H,W,2).
-    skin_bundle/joint_matrices: per-skinned-model SkinModelData and (J,4,4)
-    final matrices (statics.skin_slices gives their vertex slices).
-    Returns (accum, depth, motion, gbuffer dict, skinned positions_obj).
-    """
+def _prepare(settings, statics, scene, bvh, skin_bundle=(), joint_matrices=()):
+    """Skinning -> world transforms -> packed geometry -> BVH refit: the
+    per-frame geometry stage shared by the monolithic and staged paths."""
     # --- skinning: dense-weights matmul per skinned model (skinningKernel
     # analog, Skinning.metal:7-49) + scatter into the vertex pool ------------
     if statics.skin_slices:
@@ -106,6 +99,45 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             bvh = twolevel.refit(bvh, scene.positions_obj, scene.instance_transform)
         else:
             bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+    return scene, geom, bvh
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _prepare_frame(settings, statics, scene, bvh, skin_bundle=(), joint_matrices=()):
+    """Staged-path stage 1 as its own program (see Renderer.draw)."""
+    return _prepare(settings, statics, scene, bvh, skin_bundle, joint_matrices)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _trace_tile_frame(settings, statics, scene, bvh, geom, uniforms,
+                      px, py, offs, pmot, pp, ps):
+    """Staged-path stage 2: trace ONE fixed-size pixel tile as its own
+    program. Isolating the trace program lets XLA's memory-space assignment
+    put the BVH table (and ray state) in VMEM — the full megaprogram was
+    measured ~2x slower for identical work (docs/PERF.md round 2b)."""
+    with jax.named_scope("trace"):
+        return wf.trace_tile(settings, statics, scene, bvh, geom, uniforms,
+                             px, py, offs, pmot, prime_primary=pp, prime_shadow=ps)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _finish_frame(settings, uniforms, color, motion, prev_motion, prev_accum):
+    """Staged-path stage 3: temporal accumulation."""
+    with jax.named_scope("accumulate"):
+        return acc.accumulate(settings, uniforms, color, motion, prev_motion, prev_accum)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion,
+                  skin_bundle=(), joint_matrices=(), prime_primary=None, prime_shadow=None):
+    """One frame: skinning -> transforms -> refit -> trace tiles -> accumulate.
+
+    offsets: (H,W) int32; prev_accum: (H,W,3); prev_motion: (H,W,2).
+    skin_bundle/joint_matrices: per-skinned-model SkinModelData and (J,4,4)
+    final matrices (statics.skin_slices gives their vertex slices).
+    Returns (accum, depth, motion, gbuffer dict, skinned positions_obj).
+    """
+    scene, geom, bvh = _prepare(settings, statics, scene, bvh, skin_bundle, joint_matrices)
 
     with jax.named_scope("trace"):
         out = wf.trace_block(
@@ -218,6 +250,10 @@ class Renderer:
         self.fuse_shadow_rays = T.RenderSettings.fuse_shadow_rays
         self.use_mipmaps = T.RenderSettings.use_mipmaps
         self.light_sampling = T.RenderSettings.light_sampling
+        # staged execution: prepare / per-tile trace / accumulate as separate
+        # programs (VMEM table placement; docs/PERF.md round 2b). The
+        # monolithic _render_frame path remains for dist wrappers + fallback.
+        self.staged_frame = True
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -454,21 +490,25 @@ class Renderer:
             motion_sampling_high_px=self.motion_sampling_high_threshold_pixels,
         )
 
-        (accum, depth, motion, gbuffer, skinned_pos, rays_traced,
-         prime_primary, prime_shadow) = _render_frame(
-            self.settings(),
-            self.statics,
-            self.scene_data,
-            self.bvh,
-            uniforms,
-            self.offsets,
-            self.accum,
-            self.motion,
-            getattr(self.scene, "skin_bundle", ()),
-            self._joint_matrices,
-            self.prime_primary,
-            self.prime_shadow,
-        )
+        if self.staged_frame:
+            (accum, depth, motion, gbuffer, skinned_pos, rays_traced,
+             prime_primary, prime_shadow) = self._draw_staged(uniforms)
+        else:
+            (accum, depth, motion, gbuffer, skinned_pos, rays_traced,
+             prime_primary, prime_shadow) = _render_frame(
+                self.settings(),
+                self.statics,
+                self.scene_data,
+                self.bvh,
+                uniforms,
+                self.offsets,
+                self.accum,
+                self.motion,
+                getattr(self.scene, "skin_bundle", ()),
+                self._joint_matrices,
+                self.prime_primary,
+                self.prime_shadow,
+            )
         self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
         self.prime_primary, self.prime_shadow = prime_primary, prime_shadow
         self.last_rays_traced = rays_traced  # device scalar; int() to read
@@ -482,6 +522,81 @@ class Renderer:
         object.__setattr__(self, "frame_index", self.frame_index + 1)
         self._previous_camera = camera
         return accum
+
+    def _draw_staged(self, uniforms):
+        """Staged frame: prepare / per-tile trace / accumulate as SEPARATE
+        programs with a host loop over tiles. Same semantics as
+        ``_render_frame``; measured ~2x faster because XLA's memory-space
+        assignment keeps the BVH table VMEM-resident in the isolated trace
+        program (docs/PERF.md round 2b). Dispatch overhead is ~n_tiles
+        async launches per frame."""
+        settings = self.settings()
+        statics = self.statics
+        scene2, geom, bvh2 = _prepare_frame(
+            settings, statics, self.scene_data, self.bvh,
+            getattr(self.scene, "skin_bundle", ()), self._joint_matrices,
+        )
+
+        h, w = self.render_height, self.render_width
+        n_pix = h * w
+        tile = min(self.tile_pixels, n_pix)
+        n_tiles = -(-n_pix // tile)
+        padded = n_tiles * tile
+        key = (h, w, tile)
+        if getattr(self, "_tile_index_key", None) != key:
+            flat_idx = np.arange(padded, dtype=np.int32)
+            px = (flat_idx % w).reshape(n_tiles, tile)
+            py = np.minimum(flat_idx // w, h - 1).reshape(n_tiles, tile)
+            object.__setattr__(self, "_tile_px", [jnp.asarray(p) for p in px])
+            object.__setattr__(self, "_tile_py", [jnp.asarray(p) for p in py])
+            object.__setattr__(self, "_tile_index_key", key)
+
+        pad = padded - n_pix
+
+        def flat_pad(a, fill=0):
+            a = a.reshape((n_pix,) + a.shape[2:])
+            if pad:
+                widths = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+                a = jnp.pad(a, widths, constant_values=fill)
+            return a
+
+        offs = flat_pad(self.offsets)
+        pmot = flat_pad(self.motion)
+        pp = flat_pad(self.prime_primary, -1)
+        ps = flat_pad(self.prime_shadow, -1)
+
+        outs = []
+        for t in range(n_tiles):
+            sl = slice(t * tile, (t + 1) * tile)
+            outs.append(_trace_tile_frame(
+                settings, statics, scene2, bvh2, geom, uniforms,
+                self._tile_px[t], self._tile_py[t],
+                offs[sl], pmot[sl], pp[sl], ps[sl],
+            ))
+
+        def cat(field):
+            a = jnp.concatenate([getattr(o, field) for o in outs])[:n_pix]
+            return a.reshape((h, w) + a.shape[1:])
+
+        color = cat("color")
+        motion = cat("motion")
+        depth = cat("depth")
+        # pad lanes trace (fixed shapes) but must not count (the honest
+        # counter matches trace_block's unpadded sum)
+        rays_total = jnp.sum(cat("rays_traced").astype(jnp.int64))
+        prime_primary = cat("prime_primary")
+        prime_shadow = cat("prime_shadow")
+        gbuffer = None
+        if settings.enable_gbuffer:
+            gbuffer = dict(
+                diffuse_albedo=cat("diffuse_albedo"),
+                specular_albedo=cat("specular_albedo"),
+                normal=cat("normal"),
+                roughness=cat("roughness"),
+            )
+        accum = _finish_frame(settings, uniforms, color, motion, self.motion, self.accum)
+        return (accum, depth, motion, gbuffer, scene2.positions_obj, rays_total,
+                prime_primary, prime_shadow)
 
     def _update_animation(self, delta_time: float | None):
         """60 Hz-throttled animation stepping with catch-up

@@ -1,0 +1,66 @@
+"""The staged frame path (prepare / per-tile trace / accumulate as separate
+programs) must be semantically identical to the monolithic ``_render_frame``
+— same trace_tile under the hood, different program boundaries."""
+
+import numpy as np
+
+from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+from mrt_tpu.engine.scene import Model, Scene
+
+
+def _renderer(staged, tile_pixels=None):
+    scene = Scene(width=72, height=56)  # non-square, non-tile-aligned
+    scene.models = [
+        Model("sphere", position=[0, 0.5, 0], scale=0.5),
+        Model("plane", scale=8),
+    ]
+    r = Renderer(scene, output_width=72, output_height=56, seed=3)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = 1
+    r.max_bounces = 2
+    r.use_motion_adaptive_sampling = False
+    r.staged_frame = staged
+    if tile_pixels:
+        r.tile_pixels = tile_pixels  # force multiple tiles + padding
+    return r
+
+
+def test_staged_matches_monolithic():
+    rm = _renderer(False)
+    rs = _renderer(True, tile_pixels=1024)  # 72*56=4032 -> 4 tiles, padded
+    for _ in range(3):
+        am = np.asarray(rm.draw())
+        as_ = np.asarray(rs.draw())
+    assert np.allclose(am, as_, atol=1e-6), np.abs(am - as_).max()
+    assert np.allclose(np.asarray(rm.depth), np.asarray(rs.depth), atol=1e-5)
+    assert np.allclose(np.asarray(rm.motion), np.asarray(rs.motion), atol=1e-5)
+    assert int(rm.last_rays_traced) == int(rs.last_rays_traced)
+
+
+def test_staged_primes_roundtrip():
+    r = _renderer(True, tile_pixels=1024)
+    r.hit_priming = True
+    for _ in range(3):
+        img = np.asarray(r.draw())
+    assert np.isfinite(img).all()
+    pp = np.asarray(r.prime_primary)
+    assert pp.shape == (56, 72)
+    assert (pp >= 0).any()  # primary hits cached
+
+
+def test_staged_with_gbuffer_and_skinned_robot():
+    from mrt_tpu.engine.appscene import make_app_scene
+    from mrt_tpu.engine.renderer import UPSCALER_DENOISED
+
+    scene = make_app_scene(width=64, height=64, include_robot=True)
+    r = Renderer(scene, output_width=64, output_height=64)
+    r.upscaler_mode = UPSCALER_DENOISED
+    r.samples_per_pixel = 1
+    r.max_bounces = 1
+    r.use_motion_adaptive_sampling = False
+    r.staged_frame = True
+    r.tile_pixels = 2048
+    for _ in range(2):
+        r.draw(1 / 30.0)
+    assert r.gbuffer is not None
+    assert np.isfinite(np.asarray(r.gbuffer["normal"])).all()
