@@ -110,11 +110,22 @@ def _prepare_frame(settings, statics, scene, bvh, skin_bundle=(), joint_matrices
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _trace_tile_frame(settings, statics, scene, bvh, geom, uniforms,
-                      px, py, offs, pmot, pp, ps):
+                      px, py, offs, pmot, pp, ps, table_patch=None):
     """Staged-path stage 2: trace ONE fixed-size pixel tile as its own
-    program. Isolating the trace program lets XLA's memory-space assignment
-    put the BVH table (and ray state) in VMEM — the full megaprogram was
-    measured ~2x slower for identical work (docs/PERF.md round 2b)."""
+    program, with the BVH table forced to be an in-program INTERMEDIATE.
+
+    Rationale (docs/PERF.md round 2b): XLA serves gathers from a VMEM-placed
+    table at ~0.03-0.13 ns/row vs ~18 ns from HBM. A table passed as a plain
+    program *parameter* only gets VMEM via cross-program prefetch, which any
+    other executable in the process evicts permanently (and a frame runs
+    prepare/accumulate/upscale programs too). Memory-space assignment of an
+    in-program intermediate is compile-time static and immune — so we write
+    ``table_patch`` (== table[:8], computed by the caller) back into the
+    table inside the program. XLA cannot fold the write (the patch is a
+    separate parameter), so the traversal consumes a fresh intermediate that
+    MSA may pin in VMEM."""
+    if table_patch is not None:
+        bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
     with jax.named_scope("trace"):
         return wf.trace_tile(settings, statics, scene, bvh, geom, uniforms,
                              px, py, offs, pmot, prime_primary=pp, prime_shadow=ps)
@@ -254,6 +265,9 @@ class Renderer:
         # programs (VMEM table placement; docs/PERF.md round 2b). The
         # monolithic _render_frame path remains for dist wrappers + fallback.
         self.staged_frame = True
+        # rewrite the table into an in-program intermediate in the staged
+        # trace program so MSA can pin it in VMEM (docs/PERF.md round 2b)
+        self.vmem_table = True
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -565,13 +579,19 @@ class Renderer:
         pp = flat_pad(self.prime_primary, -1)
         ps = flat_pad(self.prime_shadow, -1)
 
+        # force the traversal table to be an in-program intermediate so MSA
+        # can place it in VMEM (see _trace_tile_frame docstring)
+        patch = None
+        if self.vmem_table and hasattr(bvh2, "table"):
+            patch = bvh2.table[:8]
+
         outs = []
         for t in range(n_tiles):
             sl = slice(t * tile, (t + 1) * tile)
             outs.append(_trace_tile_frame(
                 settings, statics, scene2, bvh2, geom, uniforms,
                 self._tile_px[t], self._tile_py[t],
-                offs[sl], pmot[sl], pp[sl], ps[sl],
+                offs[sl], pmot[sl], pp[sl], ps[sl], patch,
             ))
 
         def cat(field):

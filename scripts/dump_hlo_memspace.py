@@ -77,7 +77,8 @@ def main():
         return
 
     from mrt_tpu.engine.appscene import make_app_scene
-    from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF, _render_frame
+    from mrt_tpu.engine.renderer import (
+        Renderer, UPSCALER_OFF, _render_frame, _prepare_frame, _trace_tile_frame)
     from mrt_tpu.core import types as T
 
     scene = make_app_scene(width=512, height=512, include_robot=False)
@@ -96,6 +97,21 @@ def main():
         motion_sampling_low_px=r.motion_sampling_low_threshold_pixels,
         motion_sampling_high_px=r.motion_sampling_high_threshold_pixels,
     )
+    if "--staged" in sys.argv:
+        settings = r.settings()
+        scene2, geom, bvh2 = _prepare_frame(settings, r.statics, r.scene_data, r.bvh)
+        tile = min(r.tile_pixels, 512 * 512)
+        px = jnp.arange(tile, dtype=jnp.int32) % 512
+        py = jnp.minimum(jnp.arange(tile, dtype=jnp.int32) // 512, 511)
+        offs = jnp.zeros((tile,), jnp.int32)
+        pmot = jnp.zeros((tile, 2), jnp.float32)
+        pp = jnp.full((tile,), -1, jnp.int32)
+        patch = None if "--nopatch" in sys.argv else bvh2.table[:8]
+        comp = _trace_tile_frame.lower(
+            settings, r.statics, scene2, bvh2, geom, uniforms,
+            px, py, offs, pmot, pp, pp, patch).compile()
+        summarize(comp.as_text(), "staged trace_tile 512x512")
+        return
     comp = _render_frame.lower(
         r.settings(), r.statics, r.scene_data, r.bvh, uniforms, r.offsets,
         r.accum, r.motion, (), (), r.prime_primary, r.prime_shadow,
