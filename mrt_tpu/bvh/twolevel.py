@@ -842,15 +842,23 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
     if sort_rays:
         bmin, bmax = _world_bounds(bvh)
         perm = jnp.argsort(_sort_keys_generic(rays, live0, bmin, bmax))
-        rays = Rays(
-            origin=jnp.take(rays.origin, perm, axis=0),
-            direction=jnp.take(rays.direction, perm, axis=0),
-            max_distance=jnp.take(rays.max_distance, perm, axis=0),
-        )
-        live0 = jnp.take(live0, perm, axis=0)
-        shadow = jnp.take(shadow, perm, axis=0)
+        # ONE wide-row permutation gather instead of six narrow ones: XLA
+        # gather cost is per ROW, nearly width-independent to 128 f32
+        # (docs/PERF.md round 1); the profiled per-bounce permutation
+        # gathers at 65k rows were ~0.5 ms EACH (round 2b). Int fields ride
+        # along as bitcast-encoded floats (never touched by arithmetic).
+        cols = [rays.origin, rays.direction, rays.max_distance[:, None],
+                live0.astype(jnp.float32)[:, None],
+                shadow.astype(jnp.float32)[:, None]]
         if prime_tri is not None:
-            prime_tri = jnp.take(prime_tri, perm, axis=0)
+            cols.append(_encode_ids(prime_tri)[:, None])
+        pool = jnp.take(jnp.concatenate(cols, axis=1), perm, axis=0)
+        rays = Rays(origin=pool[:, 0:3], direction=pool[:, 3:6],
+                    max_distance=pool[:, 6])
+        live0 = pool[:, 7] > 0.5
+        shadow = pool[:, 8] > 0.5
+        if prime_tri is not None:
+            prime_tri = _decode_ids(pool[:, 9])
 
     init = None
     if prime_tri is not None and tri_rows is not None:
@@ -879,7 +887,16 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
 
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
-        st = {k: jnp.take(v, inv, axis=0) for k, v in st.items()}
+        packed = jnp.stack(
+            [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
+             st["best_v"], st["found"].astype(jnp.float32),
+             _encode_ids(st["best_inst"])], axis=1)
+        out = jnp.take(packed, inv, axis=0)  # one wide unsort gather
+        st = dict(
+            best_t=out[:, 0], best_tri=_decode_ids(out[:, 1]),
+            best_u=out[:, 2], best_v=out[:, 3], found=out[:, 4] > 0.5,
+            best_inst=_decode_ids(out[:, 5]),
+        )
     return st
 
 

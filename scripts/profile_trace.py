@@ -25,10 +25,14 @@ def main():
 
     from mrt_tpu import Renderer, UPSCALER_OFF, make_app_scene
 
-    scene = make_app_scene(width=size, height=size)
+    robot = "--norobot" not in sys.argv
+    scene = make_app_scene(width=size, height=size, include_robot=robot)
     r = Renderer(scene, output_width=size, output_height=size)
     r.upscaler_mode = UPSCALER_OFF
-    r.samples_per_pixel = 1
+    r.samples_per_pixel = (
+        int(sys.argv[sys.argv.index("--spp") + 1]) if "--spp" in sys.argv else 1)
+    if "--bounces" in sys.argv:
+        r.max_bounces = int(sys.argv[sys.argv.index("--bounces") + 1])
     r.use_motion_adaptive_sampling = False
 
     r.draw()  # compile outside the trace
