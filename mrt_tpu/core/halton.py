@@ -41,16 +41,17 @@ _MAX_DIGITS = 32
 RANDOM_OFFSET_MOD = 1 << 20
 
 
-def halton(i: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """Radical inverse of ``i`` in base ``primes[d]`` (Raytracing.metal:42-57).
+def halton_base(i: jnp.ndarray, b: jnp.ndarray,
+                max_digits: int = _MAX_DIGITS) -> jnp.ndarray:
+    """Radical inverse of ``i`` in (per-lane) base ``b``.
 
-    ``i``: int32 array (any shape). ``d``: int32 array broadcastable to ``i``
-    (dimension index into the prime table, may be traced — per-ray ``step``
-    values diverge after transparency hits).
+    ``max_digits`` bounds the fixed-trip digit loop; it must satisfy
+    ``b ** max_digits > max(i)`` for exactness. 14 covers ANY int32 input
+    for b >= 5 (5^14 > 2^31) — the per-step dimension schedule only ever
+    produces bases >= primes[2] = 5, so per-bounce call sites pass 14 and
+    skip 18 dead iterations of int div/mod on every lane.
     """
     i = jnp.asarray(i, jnp.int32)
-    d = jnp.asarray(d, jnp.int32)
-    b = _PRIMES_J[jnp.clip(d, 0, 99)]
     b_f = b.astype(jnp.float32)
     inv_b = 1.0 / b_f
 
@@ -70,8 +71,62 @@ def halton(i: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     i0 = jnp.broadcast_to(i, shape)
     f0 = jnp.ones(shape, jnp.float32)
     r0 = jnp.zeros(shape, jnp.float32)
-    _, _, r = jax.lax.fori_loop(0, _MAX_DIGITS, body, (i0, f0, r0))
+    _, _, r = jax.lax.fori_loop(0, max_digits, body, (i0, f0, r0))
     return r
+
+
+def halton(i: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Radical inverse of ``i`` in base ``primes[d]`` (Raytracing.metal:42-57).
+
+    ``i``: int32 array (any shape). ``d``: int32 array broadcastable to ``i``
+    (dimension index into the prime table, may be traced — per-ray ``step``
+    values diverge after transparency hits).
+    """
+    d = jnp.asarray(d, jnp.int32)
+    return halton_base(i, _PRIMES_J[jnp.clip(d, 0, 99)])
+
+
+# All six per-bounce sample dimensions are functions of the SAME per-lane
+# ``step``, and every dim clips at 99 — at step >= 19 all six rows are
+# identical (primes[99]). One (20, 6)-row gather therefore replaces six
+# separate per-lane prime-table gathers per bounce (each 65k-row gather
+# profiled at ~0.5 ms; docs/PERF.md round 2b).
+_STEP_BASE_COLS = ("light_pick", "area_a", "area_b", "transparency",
+                   "bounce_x", "bounce_y")
+_STEP_BASES = np.stack(
+    [
+        np.array([
+            PRIMES[min(2 + s * 6 + 0, 99)],
+            PRIMES[min(2 + s * 6 + 1, 99)],
+            PRIMES[min(2 + s * 6 + 2, 99)],
+            PRIMES[min(2 + s * 6 + 5, 99)],
+            PRIMES[min(2 + s * 5 + 3, 99)],
+            PRIMES[min(2 + s * 5 + 4, 99)],
+        ], dtype=np.int32)
+        for s in range(20)
+    ],
+    axis=0,
+)
+# Paired rows [bases(s) | bases(s+1)] so a bounce iteration needs ONE gather
+# even though the glass branch advances ``step`` mid-iteration: callers pick
+# cur/next per lane with a select afterwards.
+_STEP_BASES_PAIR_J = jnp.asarray(
+    np.concatenate([_STEP_BASES, _STEP_BASES[np.minimum(np.arange(20) + 1, 19)]],
+                   axis=1)
+)
+
+# base >= 5 everywhere in the step schedule -> 14 digits cover any int32
+STEP_MAX_DIGITS = 14
+
+
+def step_bases_pair(step: jnp.ndarray):
+    """Per-lane bases for all six per-step dims, for ``step`` AND ``step+1``,
+    via ONE packed row gather. Returns (cur, nxt) dicts keyed by
+    ``_STEP_BASE_COLS``."""
+    row = jnp.take(_STEP_BASES_PAIR_J, jnp.clip(step, 0, 19), axis=0)
+    cur = {k: row[..., j] for j, k in enumerate(_STEP_BASE_COLS)}
+    nxt = {k: row[..., 6 + j] for j, k in enumerate(_STEP_BASE_COLS)}
+    return cur, nxt
 
 
 def halton_np(i: int, d: int) -> float:

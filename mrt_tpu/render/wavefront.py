@@ -601,6 +601,17 @@ def trace_tile(
                 st["wrote_gb"] = st["wrote_gb"] | write_gb
 
             # --- glass / transparency branch (Raytracing.metal:517-576) ------
+            # ONE packed gather fetches the six per-step QMC bases for this
+            # step AND the next (glass advances step mid-iteration); six
+            # separate per-lane prime-table gathers profiled at ~0.5 ms each
+            # (docs/PERF.md round 2b).
+            _qmc_step0 = st["step"]
+            _qmc_cur, _qmc_nxt = H.step_bases_pair(_qmc_step0)
+
+            def _qmc_base(name):
+                adv = st["step"] > _qmc_step0  # glass lanes advanced by one
+                return jnp.where(adv, _qmc_nxt[name], _qmc_cur[name])
+
             skip_lighting = jnp.zeros((P,), bool)
             consume_bounce = jnp.ones((P,), bool)
             if statics.has_refraction:
@@ -626,7 +637,8 @@ def trace_tile(
                 total_w = jnp.maximum(reflect_w + refract_w, 1e-4)
                 reflect_prob = reflect_w / total_w
 
-                choice = H.halton(hidx, H.dim_transparency(st["step"]))
+                choice = H.halton_base(hidx, _qmc_cur["transparency"],
+                                       H.STEP_MAX_DIGITS)
                 do_reflect = (k < 0.0) | (choice < reflect_prob)
 
                 reflect_dir = S.normalize(I - 2.0 * S.dot3(I, N)[:, None] * N)
@@ -666,7 +678,8 @@ def trace_tile(
 
             # --- pick 1 of N lights (Raytracing.metal:587-647) ---------------
             n_lights = statics.n_lights
-            light_sample = H.halton(hidx, H.dim_light_pick(st["step"]))
+            light_sample = H.halton_base(hidx, _qmc_base("light_pick"),
+                                         H.STEP_MAX_DIGITS)
             if settings.light_sampling == "power" and n_lights > 1:
                 # power-proportional pick (beyond-reference): pmf ~ luminance
                 # x (area for area lights); 1/pmf compensation keeps the
@@ -690,8 +703,9 @@ def trace_tile(
                     (light_sample * n_lights).astype(jnp.int32), n_lights - 1
                 )
                 light_weight = f32(n_lights)  # 1-of-N compensation, :647
-            da, db = H.dim_area_sample(st["step"])
-            u_area = jnp.stack([H.halton(hidx, da), H.halton(hidx, db)], -1)
+            u_area = jnp.stack(
+                [H.halton_base(hidx, _qmc_base("area_a"), H.STEP_MAX_DIGITS),
+                 H.halton_base(hidx, _qmc_base("area_b"), H.STEP_MAX_DIGITS)], -1)
             l_dir, l_col, l_dist = S.evaluate_light(scene.lights, light_index, u_area, world_point)
             l_col = l_col * light_weight
 
@@ -857,8 +871,9 @@ def trace_tile(
                 lit = lit & ~dead
 
             # --- cosine-hemisphere bounce (Raytracing.metal:755-774) ---------
-            dbx, dby = H.dim_bounce(st["step"])
-            u_b = jnp.stack([H.halton(hidx, dbx), H.halton(hidx, dby)], -1)
+            u_b = jnp.stack(
+                [H.halton_base(hidx, _qmc_base("bounce_x"), H.STEP_MAX_DIGITS),
+                 H.halton_base(hidx, _qmc_base("bounce_y"), H.STEP_MAX_DIGITS)], -1)
             local_dir = S.sample_cosine_hemisphere(u_b)
             bounce_dir = S.align_hemisphere_with_normal(local_dir, shading_nrm)
             st["ray_o"] = jnp.where(lit[:, None], world_point + nrm * 1e-3, st["ray_o"])
