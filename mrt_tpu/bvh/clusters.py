@@ -252,7 +252,7 @@ def _trace(cs: ClusterSet, rays: Rays, t_min, any_hit_mode: bool, mask, packet: 
         ),
     )
     st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
-    inv_perm = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
+    inv_perm = jnp.argsort(perm)  # inverse permutation (microbench_inv.py)
     return {k: jnp.take(v, inv_perm, axis=0) for k, v in st.items()}
 
 

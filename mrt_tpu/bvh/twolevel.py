@@ -752,7 +752,7 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
 
 
 def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
-                       chunks: int):
+                       chunks: int, unroll: int = 1):
     """Chunked two-level traversal (wide._traverse's execution strategy with
     the two-level step): the coherence-sorted batch is split into independent
     while_loops so all-dead chunks exit immediately."""
@@ -783,10 +783,18 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
             found=ini["found"], best_inst=ini["best_inst"],
             shadow=sh,
         )
+        def one(s):
+            return _step2(bvh, t_min, s)
+
+        def stepped(s):
+            # sp==0 lanes make _step2 a no-op, so checking the cross-lane
+            # condition only every ``unroll`` steps is exact
+            for _ in range(unroll):
+                s = one(s)
+            return s
+
         st = jax.lax.while_loop(
-            lambda s: jnp.any(s["sp"] > 0),
-            lambda s: _step2(bvh, t_min, s),
-            st,
+            lambda s: jnp.any(s["sp"] > 0), stepped, st,
         )
         return {k: st[k] for k in
                 ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")}
@@ -832,7 +840,7 @@ def _to_flat(bvh: TwoLevelBVH, local, inst):
 def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
                sort_rays: bool = True, stream_window: int = 0,
                refill_every: int = 8, prime_tri=None, tri_rows=None,
-               chunks: int = 16):
+               chunks: int = 16, unroll: int = 1):
     n_rays = rays.origin.shape[0]
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
     if shadow is None:
@@ -883,10 +891,13 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             window=stream_window, refill_every=refill_every, dead_last=sort_rays,
         )
     else:
-        st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks)
+        st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks,
+                                unroll=unroll)
 
     if perm is not None:
-        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
+        # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
+        # the scatter formulation at 65k lanes (scripts/microbench_inv.py)
+        inv = jnp.argsort(perm)
         packed = jnp.stack(
             [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
              st["best_v"], st["found"].astype(jnp.float32),
@@ -903,7 +914,7 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
 def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
                 sort_rays: bool = True, stream_window: int = 0,
                 refill_every: int = 8, prime_tri=None, tri_rows=None,
-                chunks: int = 16) -> Hits:
+                chunks: int = 16, unroll: int = 1) -> Hits:
     """Closest hit; returns FLAT triangle ids (instance tri base + local) so
     the shade path is identical to the flattened backend's. stream_window=0
     uses the chunked execution strategy (measured faster once the shift-stack
@@ -911,7 +922,7 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=None, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
-        prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks,
+        prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks, unroll=unroll,
     )
     found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
     flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
@@ -926,12 +937,12 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
 def any_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
             sort_rays: bool = True, stream_window: int = 0,
             refill_every: int = 8, prime_tri=None, tri_rows=None,
-            return_tri: bool = False, chunks: int = 16):
+            return_tri: bool = False, chunks: int = 16, unroll: int = 1):
     shadow = jnp.ones((rays.origin.shape[0],), bool)
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
-        prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks,
+        prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks, unroll=unroll,
     )
     if return_tri:
         flat = _to_flat(bvh, st["best_tri"], st["best_inst"])

@@ -532,7 +532,7 @@ def _prime_hits(rays: Rays, prime_tri, tri_rows, t_min):
 def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
               chunks: int = 1, sort_rays: bool = False, shadow=None,
               profile: bool = False, prime_tri=None, tri_rows=None,
-              stream_window: int = 0, refill_every: int = 8):
+              stream_window: int = 0, refill_every: int = 8, unroll: int = 1):
     """Chunked, optionally sorted traversal wrapper around the core loop.
 
     ``shadow``: optional (R,) bool — per-lane any-hit mode (shadow lanes
@@ -593,7 +593,8 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
 
         def chunk_fn(args):
             r_o, r_d, r_m, m, sh, ini = args
-            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, m, sh, profile, ini)
+            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, m, sh, profile, ini,
+                                  unroll=unroll)
 
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
         init_c = (
@@ -614,10 +615,13 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
         )
         st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
     else:
-        st = _traverse_flat(wbvh, rays, t_min, mask, shadow, profile, init)
+        st = _traverse_flat(wbvh, rays, t_min, mask, shadow, profile, init,
+                            unroll=unroll)
 
     if perm is not None:
-        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n_rays, dtype=perm.dtype))
+        # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
+        # the scatter formulation at 65k lanes (scripts/microbench_inv.py)
+        inv = jnp.argsort(perm)
         if profile:
             st = {k: jnp.take(v, inv, axis=0) for k, v in st.items()}
         else:
@@ -633,7 +637,7 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
 
 
 def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
-                   init=None):
+                   init=None, unroll: int = 1):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -721,6 +725,18 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         st["stack"] = stack
         st["sp"] = sp
         return st
+
+    if unroll > 1:
+        # check the (cross-lane reduce + scalar sync) condition every
+        # ``unroll`` steps: a step with sp==0 everywhere is a pure no-op, so
+        # up to unroll-1 wasted steps trade against halved/quartered
+        # per-step loop overhead.
+        one = body
+
+        def body(s, _one=one):
+            for _ in range(unroll):
+                s = _one(s)
+            return s
 
     st = jax.lax.while_loop(cond, body, state)
     keys = ("best_t", "best_tri", "best_u", "best_v", "found")
@@ -972,12 +988,12 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
 def closest_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
-    stream_window: int = 0, refill_every: int = 8,
+    stream_window: int = 0, refill_every: int = 8, unroll: int = 1,
 ) -> Hits:
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=False, mask=mask, chunks=chunks,
         sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
-        stream_window=stream_window, refill_every=refill_every,
+        stream_window=stream_window, refill_every=refill_every, unroll=unroll,
     )
     found = st["best_tri"] >= 0
     return Hits(
@@ -991,7 +1007,7 @@ def closest_hit(
 def trace_mixed(
     wbvh: WideBVH, rays: Rays, shadow: jnp.ndarray, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, stream_window: int = 0,
-    refill_every: int = 8,
+    refill_every: int = 8, unroll: int = 1,
 ) -> tuple[Hits, jnp.ndarray]:
     """One traversal over a MIXED batch: lanes with shadow=True run any-hit
     (retire at first hit), the rest run closest-hit. Fuses the wavefront's
@@ -1001,7 +1017,7 @@ def trace_mixed(
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=False, mask=mask,
         chunks=chunks, sort_rays=sort_rays, shadow=shadow,
-        stream_window=stream_window, refill_every=refill_every,
+        stream_window=stream_window, refill_every=refill_every, unroll=unroll,
     )
     found = st["best_tri"] >= 0
     hits = Hits(
@@ -1017,6 +1033,7 @@ def any_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
     return_tri: bool = False, stream_window: int = 0, refill_every: int = 8,
+    unroll: int = 1,
 ):
     """Occlusion query. With prime_tri/tri_rows, lanes whose cached occluder
     still blocks retire after ONE row gather (shadow caching — the dominant
@@ -1027,7 +1044,7 @@ def any_hit(
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=True, mask=mask, chunks=chunks,
         sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
-        stream_window=stream_window, refill_every=refill_every,
+        stream_window=stream_window, refill_every=refill_every, unroll=unroll,
     )
     if return_tri:
         return st["found"], jnp.where(st["found"], st["best_tri"], -1)

@@ -197,6 +197,10 @@ class RenderSettings:
     # Traversal chunking: each tile's rays are sorted for coherence and
     # traversed in this many independent while_loops (tail isolation).
     traversal_chunks: int = 16
+    # Steps per traversal while-loop iteration: the loop condition is a
+    # cross-lane reduce + scalar sync, so checking it every N steps amortizes
+    # that overhead; sp==0 lanes step as no-ops, keeping semantics exact.
+    traversal_unroll: int = 1
     sort_rays: bool = True
     # Streaming wavefront traversal (bvh/wide._traverse_stream): >0 = window
     # size; retired lanes refill from the sorted pool every stream_refill

@@ -251,6 +251,7 @@ class Renderer:
         # execution-strategy knobs (defaults from core.types.RenderSettings)
         self.tile_pixels = T.RenderSettings.tile_pixels
         self.traversal_chunks = T.RenderSettings.traversal_chunks
+        self.traversal_unroll = T.RenderSettings.traversal_unroll
         self.sort_rays = T.RenderSettings.sort_rays
         self.traversal_backend = T.RenderSettings.traversal_backend
         self.cluster_packet = T.RenderSettings.cluster_packet
@@ -347,6 +348,7 @@ class Renderer:
             enable_motion_adaptive_accumulation=self.use_motion_adaptive_accumulation,
             tile_pixels=self.tile_pixels,
             traversal_chunks=self.traversal_chunks,
+            traversal_unroll=self.traversal_unroll,
             sort_rays=self.sort_rays,
             traversal_backend=self.traversal_backend,
             cluster_packet=self.cluster_packet,

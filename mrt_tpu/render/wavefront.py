@@ -360,7 +360,7 @@ def trace_tile(
                     bvh, batch, shadow_lane, mask=both_mask,
                     chunks=n_chunks2, sort_rays=settings.sort_rays,
                     stream_window=2 * settings.traversal_stream,
-                    refill_every=settings.stream_refill,
+                    refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                 )
                 hits = T.Hits(
                     t=hits2.t[:P], triangle=hits2.triangle[:P],
@@ -377,7 +377,7 @@ def trace_tile(
             elif two_level:
                 hits = twolevel.closest_hit(
                     bvh, rays, mask=active, sort_rays=settings.sort_rays,
-                    stream_window=stream_w2, refill_every=settings.stream_refill,
+                    stream_window=stream_w2, refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                     chunks=n_chunks,
                     prime_tri=(jnp.where(st["iter"] == 0, prime_p, -1) if priming else None),
                     tri_rows=(geom.motion_rows if priming else None),
@@ -394,7 +394,7 @@ def trace_tile(
                     prime_tri=jnp.where(st["iter"] == 0, prime_p, -1),
                     tri_rows=geom.motion_rows,
                     stream_window=settings.traversal_stream,
-                    refill_every=settings.stream_refill,
+                    refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                 )
                 st["prim_out"] = jnp.where(
                     (st["iter"] == 0) & active, hits.triangle, st["prim_out"]
@@ -403,7 +403,7 @@ def trace_tile(
                 hits = wide.closest_hit(
                     bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays,
                     stream_window=settings.traversal_stream,
-                    refill_every=settings.stream_refill,
+                    refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                 )
             if settings.geometry_axis:
                 hits = combine_hits_across(hits, settings.geometry_axis)
@@ -741,7 +741,7 @@ def trace_tile(
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
                             sort_rays=settings.sort_rays, stream_window=stream_w2,
-                            refill_every=settings.stream_refill, chunks=n_chunks,
+                            refill_every=settings.stream_refill, unroll=settings.traversal_unroll, chunks=n_chunks,
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
@@ -757,7 +757,7 @@ def trace_tile(
                             sort_rays=settings.sort_rays, prime_tri=st["occ_prime"],
                             tri_rows=geom.motion_rows, return_tri=True,
                             stream_window=settings.traversal_stream,
-                            refill_every=settings.stream_refill,
+                            refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                         )
                         st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
                         st["ps_out"] = jnp.where(
@@ -768,7 +768,7 @@ def trace_tile(
                             bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
                             sort_rays=settings.sort_rays,
                             stream_window=settings.traversal_stream,
-                            refill_every=settings.stream_refill,
+                            refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                         )
                     if settings.geometry_axis:
                         occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
@@ -828,7 +828,7 @@ def trace_tile(
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
                             sort_rays=settings.sort_rays, stream_window=stream_w2,
-                            refill_every=settings.stream_refill, chunks=n_chunks,
+                            refill_every=settings.stream_refill, unroll=settings.traversal_unroll, chunks=n_chunks,
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
@@ -844,7 +844,7 @@ def trace_tile(
                             sort_rays=settings.sort_rays, prime_tri=st["occ_prime"],
                             tri_rows=geom.motion_rows, return_tri=True,
                             stream_window=settings.traversal_stream,
-                            refill_every=settings.stream_refill,
+                            refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                         )
                         st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
                         st["ps_out"] = jnp.where(
@@ -855,7 +855,7 @@ def trace_tile(
                             bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
                             sort_rays=settings.sort_rays,
                             stream_window=settings.traversal_stream,
-                            refill_every=settings.stream_refill,
+                            refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                         )
                     if settings.geometry_axis:
                         occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0

@@ -1,0 +1,33 @@
+"""Execution-strategy knob sweep at the quick-bench config (512x512,
+spp=2, bounces=4, app scene): fuse_shadow_rays / chunks / tile size.
+
+Run detached: nohup python scripts/sweep_knobs.py > /tmp/knobs.log 2>&1 &
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CASES = [
+    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_UNROLL": "2"},
+    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_UNROLL": "4"},
+    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_CHUNKS": "32"},
+    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_CHUNKS": "32", "MRT_UNROLL": "2"},
+]
+
+
+def main():
+    for env in CASES:
+        e = dict(os.environ, **env)
+        p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"), "--quick"],
+                           capture_output=True, text=True, timeout=1800, env=e)
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        val = json.loads(lines[-1])["value"] if lines else None
+        print(json.dumps({"env": env, "mrays_s": val}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
