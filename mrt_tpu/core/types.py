@@ -193,14 +193,14 @@ class RenderSettings:
     # Ray-batch tile size for the wavefront pipeline (pixels per tile).
     # Measured sweep (512^2 app scene, v5e): 65536/16/sort-on = 0.92 Mrays/s;
     # /8 = 0.81, 16384/2 = 0.62, no-sort = 0.50, tile 131072 = 0.81.
-    tile_pixels: int = 65536
+    tile_pixels: int = 32768
     # Traversal chunking: each tile's rays are sorted for coherence and
     # traversed in this many independent while_loops (tail isolation).
     traversal_chunks: int = 16
     # Steps per traversal while-loop iteration: the loop condition is a
     # cross-lane reduce + scalar sync, so checking it every N steps amortizes
     # that overhead; sp==0 lanes step as no-ops, keeping semantics exact.
-    traversal_unroll: int = 1
+    traversal_unroll: int = 2
     sort_rays: bool = True
     # Streaming wavefront traversal (bvh/wide._traverse_stream): >0 = window
     # size; retired lanes refill from the sorted pool every stream_refill
