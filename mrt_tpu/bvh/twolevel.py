@@ -934,6 +934,31 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
     )
 
 
+def trace_mixed(bvh: TwoLevelBVH, rays: Rays, shadow, t_min: float = 0.0,
+                mask=None, sort_rays: bool = True, stream_window: int = 0,
+                refill_every: int = 8, chunks: int = 16, unroll: int = 1):
+    """One traversal over a MIXED batch (wide.trace_mixed's two-level twin):
+    lanes with shadow=True run any-hit and retire at first hit, the rest run
+    closest-hit. Fuses the wavefront's next-bounce + deferred-shadow
+    traversals into a single sorted/chunked call (halves per-bounce sort /
+    permutation / loop-launch overhead). Returns (Hits with FLAT tri ids,
+    occluded flags)."""
+    st = _traverse2(
+        bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
+        stream_window=stream_window, refill_every=refill_every,
+        chunks=chunks, unroll=unroll,
+    )
+    found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
+    flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
+    hits = Hits(
+        t=jnp.where(found, st["best_t"], jnp.inf),
+        triangle=jnp.where(found, flat, -1),
+        u=st["best_u"],
+        v=st["best_v"],
+    )
+    return hits, st["found"] & shadow
+
+
 def any_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
             sort_rays: bool = True, stream_window: int = 0,
             refill_every: int = 8, prime_tri=None, tri_rows=None,

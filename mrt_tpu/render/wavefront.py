@@ -299,7 +299,6 @@ def trace_tile(
             settings.fuse_shadow_rays
             and settings.traversal_backend == "wide"
             and not settings.geometry_axis
-            and not two_level
         )
         # hit/occluder priming (wide backend, unfused): one candidate-tri
         # gather replaces most of a traversal under temporal/sample coherence
@@ -356,7 +355,8 @@ def trace_tile(
                 shadow_lane = jnp.concatenate([jnp.zeros((P,), bool), jnp.ones((P,), bool)])
                 both_mask = jnp.concatenate([active, st["pend_mask"]])
                 n_chunks2 = 2 * n_chunks if (2 * P) % max(2 * n_chunks, 1) == 0 else 1
-                hits2, occ2 = wide.trace_mixed(
+                _tm = twolevel.trace_mixed if two_level else wide.trace_mixed
+                hits2, occ2 = _tm(
                     bvh, batch, shadow_lane, mask=both_mask,
                     chunks=n_chunks2, sort_rays=settings.sort_rays,
                     stream_window=2 * settings.traversal_stream,
