@@ -101,30 +101,45 @@ def evaluate_light(lights: T.Lights, light_index: jnp.ndarray, u_area: jnp.ndarr
     """One-of-N light evaluation (Raytracing.metal:591-643): gathers the picked
     light per ray, evaluates all 4 light-type formulas, selects by type.
 
-    Returns (direction (R,3), color (R,3), distance (R,))."""
-    g = lambda a: jnp.take(a, light_index, axis=0)
-    ltype = g(lights.type)
-    lpos = g(lights.position)
-    lcol = g(lights.color)
+    Returns (direction (R,3), color (R,3), distance (R,)).
+
+    The eight per-field lookups are packed into ONE wide-row gather (gather
+    cost is per row, ~width-free to 128 f32; docs/PERF.md). The pack itself
+    is loop-invariant, so XLA hoists it out of the bounce loop; light types
+    are small enums, exact through the f32 round trip."""
+    packed = jnp.concatenate(
+        [
+            lights.type.astype(jnp.float32)[:, None],
+            lights.position, lights.color, lights.forward,
+            lights.right, lights.up, lights.direction,
+            lights.cone_angle[:, None],
+        ],
+        axis=1,
+    )  # (L, 20)
+    row = jnp.take(packed, light_index, axis=0)
+    ltype = row[:, 0].astype(jnp.int32)
+    lpos = row[:, 1:4]
+    lcol = row[:, 4:7]
 
     # Area (Raytracing.metal:597-607)
-    a_dir, a_col, a_dist = sample_area_light(lpos, g(lights.forward), g(lights.right), g(lights.up), lcol, u_area, position)
+    a_dir, a_col, a_dist = sample_area_light(
+        lpos, row[:, 7:10], row[:, 10:13], row[:, 13:16], lcol, u_area, position)
 
     # Spot (Raytracing.metal:608-632): color zero outside cone.
     s_vec = lpos - position
     s_dist = length(s_vec)
     s_inv = 1.0 / jnp.maximum(s_dist, 1e-3)
     s_dir = s_vec * s_inv[:, None]
-    cone_dir = normalize(g(lights.direction))
+    cone_dir = normalize(row[:, 16:19])
     spot_result = dot3(-s_dir, cone_dir)
-    in_cone = spot_result > jnp.cos(g(lights.cone_angle))
+    in_cone = spot_result > jnp.cos(row[:, 19])
     s_col = jnp.where(in_cone[:, None], lcol * (s_inv * s_inv)[:, None], 0.0)
 
     # Point (Raytracing.metal:633-638)
     p_col = lcol * (s_inv * s_inv)[:, None]
 
     # Sun (Raytracing.metal:639-643)
-    sun_dir = -normalize(g(lights.direction))
+    sun_dir = -normalize(row[:, 16:19])
     inf = jnp.full_like(s_dist, jnp.inf)
 
     is_area = (ltype == T.LIGHT_TYPE_AREA)[:, None]
@@ -152,6 +167,15 @@ def compute_tangent_basis(positions_w, uvs, indices, tri, eps=1e-8):
     uv0 = jnp.take(uvs, idx[:, 0], axis=0)
     uv1 = jnp.take(uvs, idx[:, 1], axis=0)
     uv2 = jnp.take(uvs, idx[:, 2], axis=0)
+    return tangent_basis_rows(p0, p1, p2, uv0, uv1, uv2, eps)
+
+
+def tangent_basis_rows(p0, p1, p2, uv0, uv1, uv2, eps=1e-8):
+    """Tangent-basis math on pre-gathered per-hit verts/uvs. The wavefront
+    feeds this from the already-gathered motion/shade rows — ONE wide row
+    gather instead of compute_tangent_basis's seven narrow ones (same
+    values: motion rows hold take(positions_w, idx), shade rows hold
+    take(uvs, idx))."""
     e1 = p1 - p0
     e2 = p2 - p0
     duv1 = uv1 - uv0

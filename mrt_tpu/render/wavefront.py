@@ -576,8 +576,14 @@ def trace_tile(
             # --- normal mapping (Raytracing.metal:492-504) -------------------
             shading_nrm = nrm
             if statics.any_map[tex.MAP_NORMAL]:
-                valid_tb, tangent, bitangent = S.compute_tangent_basis(
-                    geom.positions_w, scene.uvs, scene.indices, tri
+                # verts come from the motion row (cur verts = take(positions_w,
+                # idx), bit-identical), uvs from the shade row already in hand:
+                # one wide gather instead of seven narrow ones
+                mrow_t = mrow if need_mrow_inloop else _tri_rows(
+                    geom.motion_rows, tri, geom, settings)
+                valid_tb, tangent, bitangent = S.tangent_basis_rows(
+                    mrow_t[:, 0:3], mrow_t[:, 3:6], mrow_t[:, 6:9],
+                    srow[:, 9:11], srow[:, 11:13], srow[:, 13:15],
                 )
                 world_t = S.normalize(tangent - nrm * S.dot3(tangent, nrm)[:, None])
                 world_b = S.normalize(jnp.cross(nrm, world_t))
