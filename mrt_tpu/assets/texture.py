@@ -52,6 +52,22 @@ _FALLBACKS = {
 MAX_MIPS = 12  # level-0 up to 2048px wide fits; deeper chains clamp
 
 
+# channel-packed atlas layout (see TextureAtlas.packed): all maps of a
+# resource live at ONE rect as channels of a 16-wide texel, so a hit's whole
+# texture set is 1 rect gather + 4 taps instead of (1+4) x N_MAP_TYPES.
+# Gather cost is per ROW, ~width-free to 128 f32 (docs/PERF.md).
+PACKED_C = 16
+_PACKED_SLICE = {  # map type -> (start, width) in the packed texel
+    MAP_BASECOLOR: (0, 3),
+    MAP_NORMAL: (3, 3),
+    MAP_EMISSION: (6, 3),
+    MAP_ROUGHNESS: (9, 1),
+    MAP_METALLIC: (10, 1),
+    MAP_AO: (11, 1),
+    MAP_OPACITY: (12, 1),
+}
+
+
 class TextureAtlas(NamedTuple):
     """Device atlas + per-(resource, map-type) rects."""
 
@@ -61,6 +77,14 @@ class TextureAtlas(NamedTuple):
     # mip chain: level-l rect per (resource, map); level 0 == rects
     mip_rects: jnp.ndarray  # (R, N_MAP_TYPES, MAX_MIPS, 4) int32
     n_levels: jnp.ndarray  # (R, N_MAP_TYPES) int32 >= 1
+    # channel-packed LOD-0 twin: all maps of a resource at one rect, at the
+    # resource's largest map size (smaller maps bilinearly resampled at pack
+    # time; missing maps baked as their fallback constants — the reference
+    # binds constant fallback TILES, SubMesh.swift:176-241, so constants are
+    # exact; mixed-size materials get pack-time filtering instead of
+    # sample-time, a sub-texel difference).
+    packed: jnp.ndarray  # (Hp, Wp, PACKED_C) f32
+    packed_rects: jnp.ndarray  # (R, 4) int32 x0, y0, w, h
 
     @property
     def height(self) -> int:
@@ -202,11 +226,124 @@ class AtlasBuilder:
                 n_levels[r, map_type] = len(chain)
                 for li in range(MAX_MIPS):
                     mip_rects[r, map_type, li] = chain[min(li, len(chain) - 1)]
+        packed, packed_rects = self._build_packed(texels, rects, has)
         return TextureAtlas(
             texels=jnp.asarray(texels), rects=jnp.asarray(rects),
             has_map=jnp.asarray(has), mip_rects=jnp.asarray(mip_rects),
             n_levels=jnp.asarray(n_levels),
+            packed=jnp.asarray(packed), packed_rects=jnp.asarray(packed_rects),
         )
+
+    @staticmethod
+    def _build_packed(texels, rects, has):
+        """Channel-packed twin: per resource, one rect at its largest map's
+        size with every map resampled into PACKED_C channels."""
+        n_res = rects.shape[0]
+        sizes = []
+        for r in range(n_res):
+            w = h = 1
+            for mt in range(N_MAP_TYPES):
+                if has[r, mt]:
+                    w = max(w, int(rects[r, mt, 2]))
+                    h = max(h, int(rects[r, mt, 3]))
+            sizes.append((w, h))
+
+        # shelf-pack the per-resource tiles
+        max_w = max(4096, max(w for w, _ in sizes))
+        sx = sy = sh = 0
+        out_rects = np.zeros((n_res, 4), np.int32)
+        for r, (w, h) in enumerate(sizes):
+            if sx + w > max_w:
+                sy += sh
+                sx = 0
+                sh = 0
+            out_rects[r] = (sx, sy, w, h)
+            sx += w
+            sh = max(sh, h)
+        Hp, Wp = sy + sh if n_res else 1, max(max(x + w for (x, _, w, _) in
+                                                 [tuple(rr) for rr in out_rects]), 1)
+        packed = np.zeros((max(Hp, 1), Wp, PACKED_C), np.float32)
+        for r, (w, h) in enumerate(sizes):
+            x0, y0 = int(out_rects[r, 0]), int(out_rects[r, 1])
+            for mt in range(N_MAP_TYPES):
+                c0, cw = _PACKED_SLICE[mt]
+                if has[r, mt]:
+                    rx, ry, rw, rh = (int(v) for v in rects[r, mt])
+                    src = texels[ry : ry + rh, rx : rx + rw, :]
+                    img = src if (rw == w and rh == h) else _resize_bilinear(src, h, w)
+                else:
+                    img = np.broadcast_to(
+                        np.asarray(_FALLBACKS[mt], np.float32), (h, w, 3))
+                packed[y0 : y0 + h, x0 : x0 + w, c0 : c0 + cw] = img[:, :, :cw]
+        return packed, out_rects
+
+
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Pack-time numpy bilinear resize (half-pixel centers, edge clamp)."""
+    sh, sw = img.shape[:2]
+    ys = (np.arange(h, dtype=np.float32) + 0.5) * sh / h - 0.5
+    xs = (np.arange(w, dtype=np.float32) + 0.5) * sw / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, sh - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
+def sample_packed(atlas: TextureAtlas, resource: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """One bilinear sample of the channel-packed atlas: EVERY map of the
+    hit's resource in (R, PACKED_C) from 1 rect gather + 4 texel-row taps
+    (vs (1+4) x N_MAP_TYPES narrow gathers with the per-map layout).
+    Repeat addressing inside the rect, like sample_bilinear."""
+    rect = jnp.take(atlas.packed_rects, resource, axis=0)  # (R,4)
+    x0 = rect[:, 0].astype(jnp.float32)
+    y0 = rect[:, 1].astype(jnp.float32)
+    w = rect[:, 2].astype(jnp.float32)
+    h = rect[:, 3].astype(jnp.float32)
+
+    u = uv[:, 0] - jnp.floor(uv[:, 0])
+    v = uv[:, 1] - jnp.floor(uv[:, 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    xf = jnp.floor(x)
+    yf = jnp.floor(y)
+    fx = (x - xf)[:, None]
+    fy = (y - yf)[:, None]
+
+    xi0 = jnp.mod(xf, w)
+    xi1 = jnp.mod(xf + 1.0, w)
+    yi0 = jnp.mod(yf, h)
+    yi1 = jnp.mod(yf + 1.0, h)
+
+    width = atlas.packed.shape[1]
+    flat = atlas.packed.reshape(-1, PACKED_C)
+
+    def fetch(xi, yi):
+        gx = (x0 + xi).astype(jnp.int32)
+        gy = (y0 + yi).astype(jnp.int32)
+        return jnp.take(flat, gy * width + gx, axis=0)
+
+    c00 = fetch(xi0, yi0)
+    c10 = fetch(xi1, yi0)
+    c01 = fetch(xi0, yi1)
+    c11 = fetch(xi1, yi1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def packed_map(sampled: jnp.ndarray, map_type: int) -> jnp.ndarray:
+    """(R, PACKED_C) packed sample -> this map's (R, 3) value (scalar maps
+    broadcast, matching the grayscale-replicated per-map layout)."""
+    c0, cw = _PACKED_SLICE[map_type]
+    if cw == 3:
+        return sampled[:, c0 : c0 + 3]
+    c = sampled[:, c0]
+    return jnp.stack([c, c, c], axis=-1)
 
 
 def sample_bilinear(atlas: TextureAtlas, resource: jnp.ndarray, map_type: int, uv: jnp.ndarray) -> jnp.ndarray:

@@ -494,8 +494,17 @@ def trace_tile(
                     return tex.sample_trilinear(
                         scene.atlas, res, map_type, tex_coord, lod_base)
             else:
+                # channel-packed atlas: ONE (1 rect + 4 wide-row taps) sample
+                # yields every map of the hit's resource, vs (1+4) narrow
+                # gathers per map type. Memoized so the sample is traced once
+                # per bounce regardless of how many maps the scene uses.
+                _packed_memo = []
+
                 def tex_sample(map_type):
-                    return tex.sample_bilinear(scene.atlas, res, map_type, tex_coord)
+                    if not _packed_memo:
+                        _packed_memo.append(
+                            tex.sample_packed(scene.atlas, res, tex_coord))
+                    return tex.packed_map(_packed_memo[0], map_type)
 
             # --- material + textures (Raytracing.metal:399-456) --------------
             matrow = jnp.take(geom.mat_rows, res, axis=0)  # (P,16)
