@@ -201,6 +201,12 @@ class RenderSettings:
     # cross-lane reduce + scalar sync, so checking it every N steps amortizes
     # that overhead; sp==0 lanes step as no-ops, keeping semantics exact.
     traversal_unroll: int = 2
+    # Persistent-lane sample driver: one bounce loop for the whole sample
+    # budget; a lane whose path dies respawns into its next sample (kills the
+    # per-sample occupancy ramp-down). Bit-equal to the sample-loop driver;
+    # auto-falls back when motion-adaptive sampling / fused shadows /
+    # motion-debug need the per-sample structure.
+    persistent_samples: bool = False
     sort_rays: bool = True
     # Streaming wavefront traversal (bvh/wide._traverse_stream): >0 = window
     # size; retired lanes refill from the sorted pool every stream_refill

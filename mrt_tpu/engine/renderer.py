@@ -252,6 +252,7 @@ class Renderer:
         self.tile_pixels = T.RenderSettings.tile_pixels
         self.traversal_chunks = T.RenderSettings.traversal_chunks
         self.traversal_unroll = T.RenderSettings.traversal_unroll
+        self.persistent_samples = T.RenderSettings.persistent_samples
         self.sort_rays = T.RenderSettings.sort_rays
         self.traversal_backend = T.RenderSettings.traversal_backend
         self.cluster_packet = T.RenderSettings.cluster_packet
@@ -349,6 +350,7 @@ class Renderer:
             tile_pixels=self.tile_pixels,
             traversal_chunks=self.traversal_chunks,
             traversal_unroll=self.traversal_unroll,
+            persistent_samples=self.persistent_samples,
             sort_rays=self.sort_rays,
             traversal_backend=self.traversal_backend,
             cluster_packet=self.cluster_packet,

@@ -242,16 +242,39 @@ def trace_tile(
         uniforms.frame_index * sample_stride if sample_base is None else sample_base
     )
 
-    def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0,
-                         prime_p, prime_s):
-        """Body of the spp loop (Raytracing.metal:269-790). Returns the
-        sample radiance and (on sample 0) primary depth/motion/G-buffer."""
-        frame_offset = base + sample_index
-        hidx = offsets + frame_offset
+    two_level = (
+        settings.two_level
+        and settings.traversal_backend == "wide"
+        and not settings.geometry_axis
+    )
+    fused = (
+        settings.fuse_shadow_rays
+        and settings.traversal_backend == "wide"
+        and not settings.geometry_axis
+    )
+    # hit/occluder priming (wide backend, unfused): one candidate-tri
+    # gather replaces most of a traversal under temporal/sample coherence
+    priming = (
+        settings.hit_priming
+        and settings.traversal_backend == "wide"
+        and not fused
+        and not settings.geometry_axis
+    )
+    # chunked (stream_window=0) measured best after the shift-stack fix
+    stream_w2 = settings.traversal_stream
 
-        # --- camera ray (Raytracing.metal:272-291) --------------------------
-        rx = H.halton(hidx, jnp.zeros((), jnp.int32))
-        ry = H.halton(hidx, jnp.ones((), jnp.int32))
+    # Upper bound on loop trips PER SAMPLE: each iteration either consumes a
+    # bounce or a transparencyPass, and passes cap at maxBounces
+    # (Raytracing.metal:570); fused mode adds one trip to flush deferred
+    # shadow rays.
+    max_iters = settings.max_bounces * (settings.max_bounces + 2) + (3 if fused else 2)
+
+    def camera_rays(sidx):
+        """Per-lane camera ray for sample index ``sidx`` ((P,) int32) —
+        Halton AA jitter (Raytracing.metal:272-291)."""
+        hidx0 = offsets + base + sidx
+        rx = H.halton(hidx0, jnp.zeros((), jnp.int32))
+        ry = H.halton(hidx0, jnp.ones((), jnp.int32))
         sample_pix_x = pixel_x.astype(f32) + rx
         sample_pix_y = pixel_y.astype(f32) + ry
         u = sample_pix_x / width_f * 2.0 - 1.0
@@ -259,11 +282,13 @@ def trace_tile(
         cam = uniforms.camera
         ray_d = S.normalize(u[:, None] * cam.right + v[:, None] * cam.up + cam.forward)
         ray_o = jnp.broadcast_to(cam.position, (P, 3))
+        return ray_o, ray_d
 
-        is_sample0 = sample_index == 0
-
-        # --- bounce loop state ----------------------------------------------
+    def init_state(sidx, prime_p, prime_s, had0, motion0):
+        """Bounce-loop lane state for lanes starting sample ``sidx``."""
+        ray_o, ray_d = camera_rays(sidx)
         state = dict(
+            sidx=sidx,
             ray_o=ray_o,
             ray_d=ray_d,
             color=jnp.ones((P, 3), f32),
@@ -290,31 +315,15 @@ def trace_tile(
             # (use_mipmaps; beyond-reference — Metal samples LOD 0)
             cone_t=jnp.zeros((P,), f32),
         )
-        two_level = (
-            settings.two_level
-            and settings.traversal_backend == "wide"
-            and not settings.geometry_axis
-        )
-        fused = (
-            settings.fuse_shadow_rays
-            and settings.traversal_backend == "wide"
-            and not settings.geometry_axis
-        )
-        # hit/occluder priming (wide backend, unfused): one candidate-tri
-        # gather replaces most of a traversal under temporal/sample coherence
-        priming = (
-            settings.hit_priming
-            and settings.traversal_backend == "wide"
-            and not fused
-            and not settings.geometry_axis
-        )
-        # chunked (stream_window=0) measured best after the shift-stack fix
-        stream_w2 = settings.traversal_stream
+        if settings.debug_mode == T.DEBUG_MODE_MOTION:
+            # sample-0 display context for the motion debug view
+            state.update(had0_in=had0, motion0_in=motion0)
         if priming:
             state.update(
                 occ_prime=prime_s,  # rolling occluder hint (bounce to bounce)
                 prim_out=jnp.full((P,), -1, jnp.int32),
                 ps_out=prime_s,  # bounce-0 occluder cache for next frame
+                pp_cur=prime_p,  # camera-ray closest-hit candidate
             )
         if fused:
             # deferred shadow rays: traced together with the NEXT bounce's
@@ -326,19 +335,24 @@ def trace_tile(
                 pend_dist=jnp.zeros((P,), f32),
                 pend_contrib=zero3,
             )
+        return state
 
-        # Upper bound on loop trips: each iteration either consumes a bounce or
-        # a transparencyPass, and passes cap at maxBounces (Raytracing.metal:570);
-        # fused mode adds one trip to flush deferred shadow rays.
-        max_iters = settings.max_bounces * (settings.max_bounces + 2) + (3 if fused else 2)
+    def cond(st):
+        live = jnp.any(st["active"])
+        if fused:
+            live = live | jnp.any(st["pend_mask"])
+        return live & (st["iter"] < max_iters)
 
-        def cond(st):
-            live = jnp.any(st["active"])
-            if fused:
-                live = live | jnp.any(st["pend_mask"])
-            return live & (st["iter"] < max_iters)
+    if True:  # keep the historical indentation of the bounce body below
 
         def body(st):
+            sidx = st["sidx"]
+            hidx = offsets + base + sidx
+            is_sample0 = sidx == 0
+            # lanes about to trace their sample's camera ray (every lane that
+            # has advanced carries bounce+step >= 1) — the per-lane
+            # generalization of the old "iter == 0" camera-ray marker
+            is_cam = (st["bounce"] == 0) & (st["step"] == 0)
             active = st["active"]
             st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
@@ -379,25 +393,25 @@ def trace_tile(
                     bvh, rays, mask=active, sort_rays=settings.sort_rays,
                     stream_window=stream_w2, refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                     chunks=n_chunks,
-                    prime_tri=(jnp.where(st["iter"] == 0, prime_p, -1) if priming else None),
+                    prime_tri=(jnp.where(is_cam, st["pp_cur"], -1) if priming else None),
                     tri_rows=(geom.motion_rows if priming else None),
                 )
                 if priming:
                     st["prim_out"] = jnp.where(
-                        (st["iter"] == 0) & active, hits.triangle, st["prim_out"]
+                        is_cam & active, hits.triangle, st["prim_out"]
                     )
             elif priming:
                 # camera rays (iteration 0) seed best-t from the cached tri;
                 # bounce rays have no useful candidate
                 hits = wide.closest_hit(
                     bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays,
-                    prime_tri=jnp.where(st["iter"] == 0, prime_p, -1),
+                    prime_tri=jnp.where(is_cam, st["pp_cur"], -1),
                     tri_rows=geom.motion_rows,
                     stream_window=settings.traversal_stream,
                     refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                 )
                 st["prim_out"] = jnp.where(
-                    (st["iter"] == 0) & active, hits.triangle, st["prim_out"]
+                    is_cam & active, hits.triangle, st["prim_out"]
                 )
             else:
                 hits = wide.closest_hit(
@@ -571,8 +585,8 @@ def trace_tile(
                 else:  # DEBUG_MODE_MOTION (Raytracing.metal:482-487)
                     # hadPrimaryHit/motionVector are written only at sample 0
                     # (Raytracing.metal:342); later samples reuse sample 0's.
-                    eff_had = jnp.where(is_sample0, st["had_primary"], had0)
-                    eff_motion = jnp.where(is_sample0, st["motion"], motion0)
+                    eff_had = jnp.where(is_sample0, st["had_primary"], st["had0_in"])
+                    eff_motion = jnp.where(is_sample0, st["motion"], st["motion0_in"])
                     mp = jnp.where(eff_had[:, None], eff_motion, prev_motion)
                     scaled = jnp.clip(mp * 0.05, -1.0, 1.0)
                     mag = jnp.clip(S.length(mp) * 0.1, 0.0, 1.0)
@@ -901,7 +915,8 @@ def trace_tile(
             st["iter"] = st["iter"] + 1
             return st
 
-        st = jax.lax.while_loop(cond, body, state)
+    def project_primary(st):
+        """Post-loop primary depth/motion from the recorded bounce-0 hit."""
         if settings.debug_mode != T.DEBUG_MODE_MOTION:
             # post-loop primary depth/motion from the recorded bounce-0 hit:
             # identical expressions to the reference path (Raytracing.metal:
@@ -924,6 +939,16 @@ def trace_tile(
             st["motion"] = jnp.where(
                 prim_ok[:, None], jnp.stack([motion_px_x, motion_px_y], -1), st["motion"]
             )
+        return st
+
+    def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0,
+                         prime_p, prime_s):
+        """Body of the spp loop (Raytracing.metal:269-790). Returns the
+        sample radiance and (on sample 0) primary depth/motion/G-buffer."""
+        state = init_state(jnp.full((P,), sample_index, jnp.int32),
+                           prime_p, prime_s, had0, motion0)
+        st = jax.lax.while_loop(cond, body, state)
+        st = project_primary(st)
         new_pp = st["prim_out"] if priming else prime_p
         new_ps = st["ps_out"] if priming else prime_s
         return (
@@ -936,6 +961,63 @@ def trace_tile(
             new_pp,
             new_ps,
         )
+
+    # --- persistent-lane driver ----------------------------------------------
+    # One loop for the whole sample budget: a lane whose path dies respawns
+    # straight into its next sample, so the tile rides a single while loop at
+    # high occupancy instead of per-sample loops that each ramp down to a few
+    # live lanes. Sample order, per-lane QMC streams, per-sample radiance
+    # flush order, and the honest ray counter are identical to the sample-loop
+    # driver, so results are bit-equal (test_persistent.py). Requires a fixed
+    # per-lane sample count (no motion-adaptive extras: their sample-0 motion
+    # input is only projected post-loop) and the undeferred shadow path.
+    persistent = (
+        settings.persistent_samples
+        and max_extra == 0
+        and not fused
+        and settings.debug_mode != T.DEBUG_MODE_MOTION
+    )
+
+    def _run_persistent():
+        st = init_state(jnp.zeros((P,), jnp.int32), prime_primary, prime_shadow,
+                        jnp.zeros((P,), bool), jnp.zeros((P, 2), f32))
+        st["total_color"] = zero3
+
+        def pcond(st):
+            return jnp.any(st["active"]) & (st["iter"] < max_iters * base_samples + 1)
+
+        def pbody(st):
+            st = body(st)
+            respawn = ~st["active"] & (st["sidx"] + 1 < base_samples)
+            # flush the finished sample's radiance exactly once, in sample
+            # order per lane (matches the sample-loop driver's addition order)
+            r3 = respawn[:, None]
+            st["total_color"] = st["total_color"] + jnp.where(
+                r3, st["accumulated"], 0.0)
+            st["sidx"] = jnp.where(respawn, st["sidx"] + 1, st["sidx"])
+            ro, rd = camera_rays(st["sidx"])
+            st["ray_o"] = jnp.where(r3, ro, st["ray_o"])
+            st["ray_d"] = jnp.where(r3, rd, st["ray_d"])
+            st["color"] = jnp.where(r3, 1.0, st["color"])
+            st["accumulated"] = jnp.where(r3, 0.0, st["accumulated"])
+            st["bounce"] = jnp.where(respawn, 0, st["bounce"])
+            st["step"] = jnp.where(respawn, 0, st["step"])
+            st["tpasses"] = jnp.where(respawn, 0, st["tpasses"])
+            st["active"] = st["active"] | respawn
+            if priming:
+                st["pp_cur"] = jnp.where(respawn, st["prim_out"], st["pp_cur"])
+                st["occ_prime"] = jnp.where(respawn, st["ps_out"], st["occ_prime"])
+            return st
+
+        st = jax.lax.while_loop(pcond, pbody, st)
+        st = project_primary(st)
+        total_color = st["total_color"] + st["accumulated"]  # last sample's flush
+        total_samples = jnp.full((P,), base_samples, jnp.int32)
+        g0 = (st["gb_diff"], st["gb_spec"], st["gb_norm"], st["gb_rough"])
+        pp_out = st["prim_out"] if priming else prime_primary
+        ps_out = st["ps_out"] if priming else prime_shadow
+        return (total_color, total_samples, st["had_primary"], st["depth"],
+                st["motion"], g0, st["rays"], pp_out, ps_out)
 
     # --- sample loop with motion-adaptive extra samples ----------------------
     # (Raytracing.metal:263-293,779-789)
@@ -991,8 +1073,13 @@ def trace_tile(
         sample_index, _, total_samples = carry[0], carry[1], carry[2]
         return (sample_index < sample_stride) & (sample_index < jnp.max(total_samples))
 
-    (_, total_color, total_samples, had0, depth0, motion0, g0, rays_total,
-     prime_p_out, prime_s_out) = jax.lax.while_loop(sample_cond, sample_body, carry0)
+    if persistent:
+        (total_color, total_samples, had0, depth0, motion0, g0, rays_total,
+         prime_p_out, prime_s_out) = _run_persistent()
+    else:
+        (_, total_color, total_samples, had0, depth0, motion0, g0, rays_total,
+         prime_p_out, prime_s_out) = jax.lax.while_loop(
+            sample_cond, sample_body, carry0)
 
     # average all samples (Raytracing.metal:793)
     total_color = total_color / jnp.maximum(total_samples, 1).astype(jnp.float32)[:, None]
