@@ -40,8 +40,13 @@ import numpy as np
 from ..core.types import Hits, Rays
 from . import lbvh
 
-ARITY = 12
-LEAF_K = 8
+# Tuned 12/8 under the HBM gather-cost regime; overridable for shape sweeps
+# under the VMEM regime (scripts/sweep_knobs.py: MRT_ARITY/MRT_LEAF_K must be
+# set before first import; constraints: 7*ARITY <= ROW, 10*LEAF_K <= ROW).
+import os as _os
+
+ARITY = int(_os.environ.get("MRT_ARITY", "12"))
+LEAF_K = int(_os.environ.get("MRT_LEAF_K", "8"))
 # Row layout (gather cost is per ROW on TPU, nearly independent of width, so
 # wider rows buy more tree per gather):
 #   internal: [bminx*A|bminy*A|bminz*A|bmaxx*A|bmaxy*A|bmaxz*A|meta*A] = 7A
@@ -111,7 +116,7 @@ class WideBVH:
 
 
 # --------------------------------------------------------------------------
-# Host-side build: binary Karras tree -> 8-ary, 4-tri leaves
+# Host-side build: binary Karras tree -> ARITY-ary, LEAF_K-tri leaves
 # --------------------------------------------------------------------------
 
 def _binary_ranges(left: np.ndarray, right: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -232,7 +237,7 @@ def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     place of wbvh.leaf_tri — geometry-sharded BVHs gather verts by shard-
     LOCAL ids but must report GLOBAL triangle ids to the shade stage."""
     n_i = wbvh.n_internal
-    leaf_tri = wbvh.leaf_tri  # (Nl, 4)
+    leaf_tri = wbvh.leaf_tri  # (Nl, LEAF_K)
     n_l = leaf_tri.shape[0]
     pad = leaf_tri < 0
     tid = jnp.maximum(leaf_tri, 0)

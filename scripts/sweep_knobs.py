@@ -12,10 +12,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CASES = [
-    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_UNROLL": "2"},
-    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_UNROLL": "4"},
-    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_CHUNKS": "32"},
-    {"MRT_TILE": "32768", "MRT_FUSE": "1", "MRT_CHUNKS": "32", "MRT_UNROLL": "2"},
+    {"MRT_ARITY": "8", "MRT_LEAF_K": "4"},
+    {"MRT_ARITY": "12", "MRT_LEAF_K": "4"},
+    {"MRT_ARITY": "16", "MRT_LEAF_K": "8"},
+    {"MRT_ARITY": "18", "MRT_LEAF_K": "12"},
+    {"MRT_ARITY": "8", "MRT_LEAF_K": "8"},
 ]
 
 
