@@ -40,12 +40,14 @@ import numpy as np
 from ..core.types import Hits, Rays
 from . import lbvh
 
-# Tuned 12/8 under the HBM gather-cost regime; overridable for shape sweeps
+# 12/8 was optimal under the HBM gather-cost regime; once the table went
+# VMEM-resident the step became fusion/VPU-bound and 8/8 measured best
+# (sweep, docs/PERF.md round 2c). Overridable for shape sweeps
 # under the VMEM regime (scripts/sweep_knobs.py: MRT_ARITY/MRT_LEAF_K must be
 # set before first import; constraints: 7*ARITY <= ROW, 10*LEAF_K <= ROW).
 import os as _os
 
-ARITY = int(_os.environ.get("MRT_ARITY", "12"))
+ARITY = int(_os.environ.get("MRT_ARITY", "8"))
 LEAF_K = int(_os.environ.get("MRT_LEAF_K", "8"))
 # Row layout (gather cost is per ROW on TPU, nearly independent of width, so
 # wider rows buy more tree per gather):

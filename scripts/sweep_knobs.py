@@ -12,11 +12,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CASES = [
-    {"MRT_ARITY": "8", "MRT_LEAF_K": "4"},
-    {"MRT_ARITY": "12", "MRT_LEAF_K": "4"},
-    {"MRT_ARITY": "16", "MRT_LEAF_K": "8"},
-    {"MRT_ARITY": "18", "MRT_LEAF_K": "12"},
-    {"MRT_ARITY": "8", "MRT_LEAF_K": "8"},
+    {"MRT_ARITY": "6", "MRT_LEAF_K": "8"},
+    {"MRT_ARITY": "10", "MRT_LEAF_K": "8"},
+    {"MRT_ARITY": "8", "MRT_LEAF_K": "12"},
+    {"MRT_ARITY": "8", "MRT_LEAF_K": "8", "MRT_UNROLL": "3"},
 ]
 
 
