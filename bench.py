@@ -36,6 +36,8 @@ def build_renderer(width, height, dragon_subdivisions=None):
         r.traversal_chunks = int(os.environ["MRT_CHUNKS"])
     if os.environ.get("MRT_UNROLL"):
         r.traversal_unroll = int(os.environ["MRT_UNROLL"])
+    if os.environ.get("MRT_SORTSHADOW"):
+        r.sort_shadow_rays = os.environ["MRT_SORTSHADOW"] == "1"
     if os.environ.get("MRT_PERSIST"):
         r.persistent_samples = os.environ["MRT_PERSIST"] == "1"
     if os.environ.get("MRT_SORT"):

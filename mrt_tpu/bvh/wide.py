@@ -41,14 +41,17 @@ from ..core.types import Hits, Rays
 from . import lbvh
 
 # 12/8 was optimal under the HBM gather-cost regime; once the table went
-# VMEM-resident the step became fusion/VPU-bound and 8/8 measured best
-# (sweep, docs/PERF.md round 2c). Overridable for shape sweeps
+# VMEM-resident the step became fusion/VPU-bound and small arity won the
+# sweep (docs/PERF.md round 2c). LEAF_K=12 over 8 costs the 95k-tri
+# flagship ~2% but keeps a 1.3M-tri table at ~65 MB -- inside v5e's 128 MB
+# VMEM so MSA still places it (dragon_1m 1.06 -> 2.40 Mrays/s); at
+# LEAF_K=8 the same table is ~97 MB and loses placement. Overridable
 # under the VMEM regime (scripts/sweep_knobs.py: MRT_ARITY/MRT_LEAF_K must be
 # set before first import; constraints: 7*ARITY <= ROW, 10*LEAF_K <= ROW).
 import os as _os
 
 ARITY = int(_os.environ.get("MRT_ARITY", "8"))
-LEAF_K = int(_os.environ.get("MRT_LEAF_K", "8"))
+LEAF_K = int(_os.environ.get("MRT_LEAF_K", "12"))
 # Row layout (gather cost is per ROW on TPU, nearly independent of width, so
 # wider rows buy more tree per gather):
 #   internal: [bminx*A|bminy*A|bminz*A|bmaxx*A|bmaxy*A|bmaxz*A|meta*A] = 7A

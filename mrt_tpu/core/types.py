@@ -208,6 +208,9 @@ class RenderSettings:
     # motion-debug need the per-sample structure.
     persistent_samples: bool = False
     sort_rays: bool = True
+    # Shadow rays start at coherent hit points toward a light -- often
+    # coherent enough without the per-traversal sort+permute round trip.
+    sort_shadow_rays: bool = True
     # Streaming wavefront traversal (bvh/wide._traverse_stream): >0 = window
     # size; retired lanes refill from the sorted pool every stream_refill
     # steps, paying ~mean steps per ray instead of the chunk's max (measured

@@ -253,6 +253,7 @@ class Renderer:
         self.traversal_chunks = T.RenderSettings.traversal_chunks
         self.traversal_unroll = T.RenderSettings.traversal_unroll
         self.persistent_samples = T.RenderSettings.persistent_samples
+        self.sort_shadow_rays = T.RenderSettings.sort_shadow_rays
         self.sort_rays = T.RenderSettings.sort_rays
         self.traversal_backend = T.RenderSettings.traversal_backend
         self.cluster_packet = T.RenderSettings.cluster_packet
@@ -351,6 +352,7 @@ class Renderer:
             traversal_chunks=self.traversal_chunks,
             traversal_unroll=self.traversal_unroll,
             persistent_samples=self.persistent_samples,
+            sort_shadow_rays=self.sort_shadow_rays,
             sort_rays=self.sort_rays,
             traversal_backend=self.traversal_backend,
             cluster_packet=self.cluster_packet,

@@ -769,7 +769,7 @@ def trace_tile(
                     elif two_level:
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
-                            sort_rays=settings.sort_rays, stream_window=stream_w2,
+                            sort_rays=settings.sort_rays and settings.sort_shadow_rays, stream_window=stream_w2,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll, chunks=n_chunks,
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
@@ -783,7 +783,7 @@ def trace_tile(
                     elif priming:
                         occluded, occ_tri = wide.any_hit(
                             bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
-                            sort_rays=settings.sort_rays, prime_tri=st["occ_prime"],
+                            sort_rays=settings.sort_rays and settings.sort_shadow_rays, prime_tri=st["occ_prime"],
                             tri_rows=geom.motion_rows, return_tri=True,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
@@ -795,7 +795,7 @@ def trace_tile(
                     else:
                         occluded = wide.any_hit(
                             bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
-                            sort_rays=settings.sort_rays,
+                            sort_rays=settings.sort_rays and settings.sort_shadow_rays,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                         )
@@ -856,7 +856,7 @@ def trace_tile(
                     elif two_level:
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
-                            sort_rays=settings.sort_rays, stream_window=stream_w2,
+                            sort_rays=settings.sort_rays and settings.sort_shadow_rays, stream_window=stream_w2,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll, chunks=n_chunks,
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
@@ -870,7 +870,7 @@ def trace_tile(
                     elif priming:
                         occluded, occ_tri = wide.any_hit(
                             bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
-                            sort_rays=settings.sort_rays, prime_tri=st["occ_prime"],
+                            sort_rays=settings.sort_rays and settings.sort_shadow_rays, prime_tri=st["occ_prime"],
                             tri_rows=geom.motion_rows, return_tri=True,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
@@ -882,7 +882,7 @@ def trace_tile(
                     else:
                         occluded = wide.any_hit(
                             bvh, shadow_rays, mask=need_shadow, chunks=n_chunks,
-                            sort_rays=settings.sort_rays,
+                            sort_rays=settings.sort_rays and settings.sort_shadow_rays,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
                         )

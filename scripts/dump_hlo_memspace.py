@@ -81,8 +81,13 @@ def main():
         Renderer, UPSCALER_OFF, _render_frame, _prepare_frame, _trace_tile_frame)
     from mrt_tpu.core import types as T
 
-    scene = make_app_scene(width=512, height=512, include_robot=False)
-    r = Renderer(scene, output_width=512, output_height=512)
+    if "--dragon" in sys.argv:
+        scene = make_app_scene(width=1024, height=576, include_robot=False,
+                               dragon_subdivisions=8)
+        r = Renderer(scene, output_width=1024, output_height=576)
+    else:
+        scene = make_app_scene(width=512, height=512, include_robot=False)
+        r = Renderer(scene, output_width=512, output_height=512)
     r.upscaler_mode = UPSCALER_OFF
     r.samples_per_pixel = 2
     r.max_bounces = 4
@@ -100,9 +105,10 @@ def main():
     if "--staged" in sys.argv:
         settings = r.settings()
         scene2, geom, bvh2 = _prepare_frame(settings, r.statics, r.scene_data, r.bvh)
-        tile = min(r.tile_pixels, 512 * 512)
-        px = jnp.arange(tile, dtype=jnp.int32) % 512
-        py = jnp.minimum(jnp.arange(tile, dtype=jnp.int32) // 512, 511)
+        w, h = r.render_width, r.render_height
+        tile = min(r.tile_pixels, w * h)
+        px = jnp.arange(tile, dtype=jnp.int32) % w
+        py = jnp.minimum(jnp.arange(tile, dtype=jnp.int32) // w, h - 1)
         offs = jnp.zeros((tile,), jnp.int32)
         pmot = jnp.zeros((tile, 2), jnp.float32)
         pp = jnp.full((tile,), -1, jnp.int32)
