@@ -38,6 +38,8 @@ def build_renderer(width, height, dragon_subdivisions=None):
         r.traversal_unroll = int(os.environ["MRT_UNROLL"])
     if os.environ.get("MRT_SORTSHADOW"):
         r.sort_shadow_rays = os.environ["MRT_SORTSHADOW"] == "1"
+    if os.environ.get("MRT_FUSE"):
+        r.fuse_shadow_rays = os.environ["MRT_FUSE"] == "1"
     if os.environ.get("MRT_PERSIST"):
         r.persistent_samples = os.environ["MRT_PERSIST"] == "1"
     if os.environ.get("MRT_SORT"):

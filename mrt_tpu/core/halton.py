@@ -114,18 +114,33 @@ _STEP_BASES_PAIR_J = jnp.asarray(
     np.concatenate([_STEP_BASES, _STEP_BASES[np.minimum(np.arange(20) + 1, 19)]],
                    axis=1)
 )
+# (12, 20) f32 transpose for the one-hot-matmul lookup in step_bases_pair.
+_STEP_BASES_PAIR_T_F = jnp.asarray(
+    np.concatenate([_STEP_BASES, _STEP_BASES[np.minimum(np.arange(20) + 1, 19)]],
+                   axis=1).T.astype(np.float32)
+)
 
 # base >= 5 everywhere in the step schedule -> 14 digits cover any int32
 STEP_MAX_DIGITS = 14
 
 
 def step_bases_pair(step: jnp.ndarray):
-    """Per-lane bases for all six per-step dims, for ``step`` AND ``step+1``,
-    via ONE packed row gather. Returns (cur, nxt) dicts keyed by
-    ``_STEP_BASE_COLS``."""
-    row = jnp.take(_STEP_BASES_PAIR_J, jnp.clip(step, 0, 19), axis=0)
-    cur = {k: row[..., j] for j, k in enumerate(_STEP_BASE_COLS)}
-    nxt = {k: row[..., 6 + j] for j, k in enumerate(_STEP_BASE_COLS)}
+    """Per-lane bases for all six per-step dims, for ``step`` AND ``step+1``.
+
+    Lookup is a one-hot MATMUL against the tiny (20, 12) base table, not a
+    gather: a (N, 12) row-gather output is sublane-packed, and unpacking its
+    12 columns into lane vectors compiled to a ~492k-cycle kLoop relayout per
+    bounce iteration (measured, docs/PERF.md round 2d). ``bases.T @ onehot``
+    produces (12, N) directly lane-major — column extraction is free — and
+    the 12x20xN matmul is noise on the MXU. Returns (cur, nxt) dicts keyed
+    by ``_STEP_BASE_COLS``."""
+    s = jnp.clip(step, 0, 19)
+    onehot = (s[None, :] == jnp.arange(20, dtype=jnp.int32)[:, None]).astype(
+        jnp.float32)  # (20, N)
+    rows = _STEP_BASES_PAIR_T_F @ onehot  # (12, N), primes <= 541 exact in f32
+    rows = rows.astype(jnp.int32)
+    cur = {k: rows[j] for j, k in enumerate(_STEP_BASE_COLS)}
+    nxt = {k: rows[6 + j] for j, k in enumerate(_STEP_BASE_COLS)}
     return cur, nxt
 
 

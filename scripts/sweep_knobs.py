@@ -12,10 +12,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CASES = [
-    {"MRT_ARITY": "6", "MRT_LEAF_K": "8"},
-    {"MRT_ARITY": "10", "MRT_LEAF_K": "8"},
-    {"MRT_ARITY": "8", "MRT_LEAF_K": "12"},
-    {"MRT_ARITY": "8", "MRT_LEAF_K": "8", "MRT_UNROLL": "3"},
+    {"MRT_UNROLL": "4"},
+    {"MRT_CHUNKS": "4"},
+    {"MRT_CHUNKS": "16"},
+    {"MRT_TILE": "65536"},
+    {"MRT_PERSIST": "1"},
+    {"MRT_STREAM": "2048", "MRT_REFILL": "4"},
 ]
 
 
