@@ -36,6 +36,7 @@ from ..core.types import Hits, Rays
 from . import lbvh
 from .wide import (
     ARITY,
+    CHUNK_UNROLL,
     IDS_OFF,
     LEAF_K,
     META_OFF,
@@ -803,6 +804,19 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                                          jnp.asarray(rays.max_distance, f32)))
     if chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
+        if CHUNK_UNROLL:
+            # Static Python loop over chunks: each chunk's while_loop reads a
+            # STATIC slice of the batch, so there is no per-iteration
+            # dynamic-slice / dynamic-update-slice machinery. Under lax.map
+            # that machinery measured ~as expensive as the traversal stepping
+            # itself (~0.9 ms per 8-chunk call, docs/PERF.md round 2d).
+            outs = []
+            for c in range(chunks):
+                sl = slice(c * rc, (c + 1) * rc)
+                ini = {k: v[sl] for k, v in init.items()}
+                outs.append(run_flat(rays.origin[sl], rays.direction[sl],
+                                     live0[sl], shadow[sl], ini))
+            return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
         def chunk_fn(args):
             o, d, lv, sh, ini = args

@@ -52,6 +52,11 @@ import os as _os
 
 ARITY = int(_os.environ.get("MRT_ARITY", "8"))
 LEAF_K = int(_os.environ.get("MRT_LEAF_K", "12"))
+# Unroll the chunk loop at trace time (a static Python loop over chunk
+# slices) instead of lax.map: kills the per-iteration dynamic-slice /
+# dynamic-update-slice machinery, which measured ~as expensive as the
+# traversal stepping itself (docs/PERF.md round 2d).
+CHUNK_UNROLL = _os.environ.get("MRT_CHUNK_UNROLL", "0") == "1"
 # Row layout (gather cost is per ROW on TPU, nearly independent of width, so
 # wider rows buy more tree per gather):
 #   internal: [bminx*A|bminy*A|bminz*A|bmaxx*A|bmaxy*A|bmaxz*A|meta*A] = 7A
@@ -600,30 +605,43 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
         )
     elif chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
-
-        def chunk_fn(args):
-            r_o, r_d, r_m, m, sh, ini = args
-            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, m, sh, profile, ini,
-                                  unroll=unroll)
-
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
-        init_c = (
-            {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
-            if init is not None
-            else None
-        )
-        st = jax.lax.map(
-            chunk_fn,
-            (
-                rays.origin.reshape(chunks, rc, 3),
-                rays.direction.reshape(chunks, rc, 3),
-                rays.max_distance.reshape(chunks, rc),
-                m.reshape(chunks, rc),
-                shadow.reshape(chunks, rc),
-                init_c,
-            ),
-        )
-        st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
+        if CHUNK_UNROLL:
+            # static Python loop over chunk slices — no lax.map
+            # dynamic-slice/DUS machinery (see CHUNK_UNROLL above)
+            outs = []
+            for c in range(chunks):
+                sl = slice(c * rc, (c + 1) * rc)
+                ini = ({k: v[sl] for k, v in init.items()}
+                       if init is not None else None)
+                outs.append(_traverse_flat(
+                    wbvh, Rays(rays.origin[sl], rays.direction[sl],
+                               rays.max_distance[sl]),
+                    t_min, m[sl], shadow[sl], profile, ini, unroll=unroll))
+            st = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+        else:
+            def chunk_fn(args):
+                r_o, r_d, r_m, mm, sh, ini = args
+                return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, mm, sh,
+                                      profile, ini, unroll=unroll)
+
+            init_c = (
+                {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
+                if init is not None
+                else None
+            )
+            st = jax.lax.map(
+                chunk_fn,
+                (
+                    rays.origin.reshape(chunks, rc, 3),
+                    rays.direction.reshape(chunks, rc, 3),
+                    rays.max_distance.reshape(chunks, rc),
+                    m.reshape(chunks, rc),
+                    shadow.reshape(chunks, rc),
+                    init_c,
+                ),
+            )
+            st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
     else:
         st = _traverse_flat(wbvh, rays, t_min, mask, shadow, profile, init,
                             unroll=unroll)

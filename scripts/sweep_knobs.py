@@ -12,12 +12,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CASES = [
-    {"MRT_UNROLL": "4"},
-    {"MRT_CHUNKS": "4"},
-    {"MRT_CHUNKS": "16"},
-    {"MRT_TILE": "65536"},
-    {"MRT_PERSIST": "1"},
-    {"MRT_STREAM": "2048", "MRT_REFILL": "4"},
+    {},
+    {"MRT_UNROLL": "4", "MRT_TILE": "65536"},
+    {"MRT_UNROLL": "4", "MRT_PERSIST": "1"},
+    {"MRT_FUSE": "1"},
+    {"MRT_UNROLL": "4", "MRT_TILE": "65536", "MRT_PERSIST": "1"},
 ]
 
 
