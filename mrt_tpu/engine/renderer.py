@@ -552,10 +552,30 @@ class Renderer:
         async launches per frame."""
         settings = self.settings()
         statics = self.statics
-        scene2, geom, bvh2 = _prepare_frame(
-            settings, statics, self.scene_data, self.bvh,
-            getattr(self.scene, "skin_bundle", ()), self._joint_matrices,
-        )
+        skin_bundle = getattr(self.scene, "skin_bundle", ())
+        # Clean-frame skip: prepare (skinning -> transforms -> refit ->
+        # geometry pack) is a pure function of the arrays below; when none
+        # changed since last frame, reuse its outputs instead of re-running
+        # the program (the reference likewise skips skinning/refit when the
+        # scene is not dirty, SkinningPass.swift:288-312). Keyed by object
+        # IDENTITY of every input leaf; the cache holds strong references to
+        # the keyed objects so identity cannot be recycled. Skinned scenes
+        # churn positions_obj identity each frame and simply miss (= status
+        # quo behavior).
+        leaves = tuple(jax.tree_util.tree_leaves(
+            (self.scene_data, self.bvh, skin_bundle, self._joint_matrices)))
+        cache = getattr(self, "_prepare_cache", None)
+        if (cache is not None and cache[0] == (settings, statics)
+                and len(cache[1]) == len(leaves)
+                and all(a is b for a, b in zip(cache[1], leaves))):
+            scene2, geom, bvh2 = cache[2]
+        else:
+            scene2, geom, bvh2 = _prepare_frame(
+                settings, statics, self.scene_data, self.bvh,
+                skin_bundle, self._joint_matrices,
+            )
+            object.__setattr__(self, "_prepare_cache",
+                               ((settings, statics), leaves, (scene2, geom, bvh2)))
 
         h, w = self.render_height, self.render_width
         n_pix = h * w

@@ -64,3 +64,57 @@ def test_staged_with_gbuffer_and_skinned_robot():
         r.draw(1 / 30.0)
     assert r.gbuffer is not None
     assert np.isfinite(np.asarray(r.gbuffer["normal"])).all()
+
+
+def test_prepare_cache_hits_static_and_invalidates_on_change(monkeypatch):
+    """Static frames skip the prepare program; any geometry-affecting change
+    (model move, light change, bvh rebuild) re-runs it — mirroring the
+    reference's skip-when-not-dirty gate (SkinningPass.swift:288-312)."""
+    import mrt_tpu.engine.renderer as R
+
+    calls = {"n": 0}
+    real = R._prepare_frame
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(R, "_prepare_frame", counting)
+
+    r = _renderer(True, tile_pixels=1024)
+    r.draw()
+    assert calls["n"] == 1
+    r.draw()
+    r.draw()
+    assert calls["n"] == 1  # static frames reuse cached prepare outputs
+
+    r.scene.move_model(0, forward=0.25)
+    r.draw()
+    assert calls["n"] == 2  # instance transform changed
+    # the frame AFTER a move still differs (prev transform catches up)
+    r.draw()
+    assert calls["n"] == 3
+    r.draw()
+    assert calls["n"] == 3  # steady again
+
+    r.scene.set_light_intensity(2.0)
+    r.draw()
+    assert calls["n"] == 4
+
+    r.rebuild_bvh()
+    r.draw()
+    assert calls["n"] == 5
+
+    # cached path must render identically to an uncached renderer replaying
+    # the same edits
+    r2 = _renderer(True, tile_pixels=1024)
+    [r2.draw() for _ in range(3)]
+    r2.scene.move_model(0, forward=0.25)
+    [r2.draw() for _ in range(3)]
+    r2.scene.set_light_intensity(2.0)
+    r2.draw()
+    r2.rebuild_bvh()
+    r2.draw()  # same number of accumulated frames as r
+    a = np.asarray(r.draw())
+    b = np.asarray(r2.draw())
+    assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
