@@ -223,11 +223,13 @@ class RenderSettings:
     traversal_backend: str = "wide"
     cluster_packet: int = 256
     # Fuse each bounce's next-ray (closest-hit) and the previous bounce's
-    # shadow rays (any-hit) into ONE mixed traversal call. Measured SLOWER
-    # end-to-end (0.88 vs 1.07 Mrays/s flagship: the pend-flush iteration and
-    # longer lane live-ranges outweigh the per-call savings) — kept off; see
-    # docs/PERF.md.
-    fuse_shadow_rays: bool = False
+    # shadow rays (any-hit) into ONE mixed traversal call. Round-1 measured
+    # it SLOWER (0.88 vs 1.07: pend-flush iteration + longer live ranges),
+    # but after the shift-stack + VMEM-table + wide-permutation rewrites the
+    # per-call overheads it amortizes dominate instead: round-2 sweep has
+    # fused 3.43 vs unfused 3.31 Mrays/s at the 512^2 quick config — now the
+    # default; see docs/PERF.md.
+    fuse_shadow_rays: bool = True
     # Geometry sharding (SURVEY §5.7): when set to a mesh axis name, each
     # chip's bvh argument is its LOCAL shard of the scene's BVH; per-bounce
     # hits are combined across the axis with min-t collectives. For BVHs

@@ -261,7 +261,12 @@ class Renderer:
         self.two_level = T.RenderSettings.two_level
         self.traversal_stream = T.RenderSettings.traversal_stream
         self.stream_refill = T.RenderSettings.stream_refill
-        self.fuse_shadow_rays = T.RenderSettings.fuse_shadow_rays
+        # None = auto: fuse only while the BVH stays comfortably VMEM-
+        # placeable alongside the fused batch's doubled lane state. Measured
+        # (docs/PERF.md round 2e): fused wins at the 8 MB flagship table
+        # (3.84 vs 3.58 Mrays/s) but LOSES 2.4x at the 65 MB dragon_1m table
+        # (1.12 vs 2.74) — the wider batch evicts the table from VMEM.
+        self.fuse_shadow_rays = None
         self.use_mipmaps = T.RenderSettings.use_mipmaps
         self.light_sampling = T.RenderSettings.light_sampling
         # staged execution: prepare / per-tile trace / accumulate as separate
@@ -336,6 +341,26 @@ class Renderer:
         scale = self.render_scale if self.upscaler_mode != UPSCALER_OFF else 1.0
         return max(1, int(round(self.output_height * scale)))
 
+    # Auto-fuse threshold: total BVH bytes above which the fused 2P mixed
+    # batch costs the table its VMEM placement (capability-probe seam, the
+    # analog of the reference's Metal4-vs-legacy probe, Renderer.swift:299).
+    FUSE_AUTO_MAX_BVH_BYTES = 24 << 20
+
+    def _resolve_fuse(self) -> bool:
+        if self.fuse_shadow_rays is not None:
+            return bool(self.fuse_shadow_rays)
+        if self.hit_priming:
+            # the fused mixed batch has no priming seed path; an explicit
+            # priming request wins over auto-fuse
+            return False
+        bvh = getattr(self, "bvh", None)
+        if bvh is None:
+            return True
+        nbytes = sum(
+            getattr(x, "nbytes", 0) for x in jax.tree_util.tree_leaves(bvh)
+        )
+        return nbytes <= self.FUSE_AUTO_MAX_BVH_BYTES
+
     def settings(self) -> T.RenderSettings:
         return T.RenderSettings(
             width=self.render_width,
@@ -360,7 +385,7 @@ class Renderer:
             two_level=self.two_level,
             traversal_stream=self.traversal_stream,
             stream_refill=self.stream_refill,
-            fuse_shadow_rays=self.fuse_shadow_rays,
+            fuse_shadow_rays=self._resolve_fuse(),
             use_mipmaps=self.use_mipmaps,
             light_sampling=self.light_sampling,
         )
