@@ -131,6 +131,27 @@ def _trace_tile_frame(settings, statics, scene, bvh, geom, uniforms,
                              px, py, offs, pmot, prime_primary=pp, prime_shadow=ps)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
+                           offsets, prev_motion, pp, ps, table_patch=None):
+    """Staged-path stage 2 (tile-loop variant): trace EVERY tile inside ONE
+    program (``trace_block``'s lax.map over fixed-size tiles), with the same
+    in-program table-intermediate trick as ``_trace_tile_frame``.
+
+    Why: each program launch costs ~60-70 ms wall on the axon tunnel
+    regardless of device work (docs/PERF.md round 2e: 512^2 device-busy
+    ~9 ms/tile vs 78 ms/tile wall) — the per-tile host loop made the 1080p
+    flagship frame (63 tiles) dispatch-latency-bound. Keeping the program
+    trace-only preserves the VMEM table placement the monolithic frame
+    program lost."""
+    if table_patch is not None and hasattr(bvh, "table"):
+        bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
+    with jax.named_scope("trace"):
+        return wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
+                              offsets, prev_motion,
+                              prime_primary=pp, prime_shadow=ps)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _finish_frame(settings, uniforms, color, motion, prev_motion, prev_accum):
     """Staged-path stage 3: temporal accumulation."""
@@ -273,6 +294,10 @@ class Renderer:
         # programs (VMEM table placement; docs/PERF.md round 2b). The
         # monolithic _render_frame path remains for dist wrappers + fallback.
         self.staged_frame = True
+        # staged stage-2 as ONE program looping all tiles in-program
+        # (lax.map) instead of a host loop of per-tile launches — each
+        # launch costs ~60-70 ms wall on the axon tunnel (PERF.md round 2e)
+        self.tile_program_loop = True
         # rewrite the table into an in-program intermediate in the staged
         # trace program so MSA can pin it in VMEM (docs/PERF.md round 2b)
         self.vmem_table = True
@@ -603,6 +628,35 @@ class Renderer:
                                ((settings, statics), leaves, (scene2, geom, bvh2)))
 
         h, w = self.render_height, self.render_width
+
+        # force the traversal table to be an in-program intermediate so MSA
+        # can place it in VMEM (see _trace_tile_frame docstring)
+        patch = None
+        if self.vmem_table and hasattr(bvh2, "table"):
+            patch = bvh2.table[:8]
+
+        if self.tile_program_loop:
+            # all tiles in ONE program: one launch/frame instead of n_tiles
+            # (each launch costs ~60-70 ms wall on the axon tunnel)
+            out = _trace_all_tiles_frame(
+                settings, statics, scene2, bvh2, geom, uniforms,
+                self.offsets, self.motion, self.prime_primary,
+                self.prime_shadow, patch,
+            )
+            rays_total = jnp.sum(out.rays_traced.astype(jnp.int64))
+            gbuffer = None
+            if settings.enable_gbuffer:
+                gbuffer = dict(
+                    diffuse_albedo=out.diffuse_albedo,
+                    specular_albedo=out.specular_albedo,
+                    normal=out.normal,
+                    roughness=out.roughness,
+                )
+            accum = _finish_frame(settings, uniforms, out.color, out.motion,
+                                  self.motion, self.accum)
+            return (accum, out.depth, out.motion, gbuffer, scene2.positions_obj,
+                    rays_total, out.prime_primary, out.prime_shadow)
+
         n_pix = h * w
         tile = min(self.tile_pixels, n_pix)
         n_tiles = -(-n_pix // tile)
@@ -629,12 +683,6 @@ class Renderer:
         pmot = flat_pad(self.motion)
         pp = flat_pad(self.prime_primary, -1)
         ps = flat_pad(self.prime_shadow, -1)
-
-        # force the traversal table to be an in-program intermediate so MSA
-        # can place it in VMEM (see _trace_tile_frame docstring)
-        patch = None
-        if self.vmem_table and hasattr(bvh2, "table"):
-            patch = bvh2.table[:8]
 
         outs = []
         for t in range(n_tiles):
