@@ -54,6 +54,8 @@ def build_renderer(width, height, dragon_subdivisions=None):
         r.two_level = os.environ["MRT_TWOLEVEL"] == "1"
     if os.environ.get("MRT_TILELOOP"):
         r.tile_program_loop = os.environ["MRT_TILELOOP"] == "1"
+    if os.environ.get("MRT_WORKSORT"):
+        r.workload_sort = os.environ["MRT_WORKSORT"] == "1"
     if os.environ.get("MRT_FUSE"):
         r.fuse_shadow_rays = os.environ["MRT_FUSE"] == "1"
     return r

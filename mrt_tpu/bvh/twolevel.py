@@ -513,6 +513,11 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
     """One two-level traversal step over a lane-state dict (shared by the
     chunked and streaming wrappers)."""
     active = st["sp"] > 0
+    if "pops" in st:
+        # per-lane useful-step counter: feeds the workload-predictive sort
+        # (next call sorts lanes by expected work so chunk trip counts
+        # approach the mean instead of the max — docs/PERF.md round 2g)
+        st["pops"] = st["pops"] + active.astype(jnp.int32)
     sp = st["sp"]
     top, stack0 = _stack_pop(st["stack"], active)
     entry = jnp.where(active, top, 0)
@@ -753,7 +758,7 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
 
 
 def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
-                       chunks: int, unroll: int = 1):
+                       chunks: int, unroll: int = 1, count_pops: bool = False):
     """Chunked two-level traversal (wide._traverse's execution strategy with
     the two-level step): the coherence-sorted batch is split into independent
     while_loops so all-dead chunks exit immediately."""
@@ -784,6 +789,8 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
             found=ini["found"], best_inst=ini["best_inst"],
             shadow=sh,
         )
+        if count_pops:
+            st["pops"] = jnp.zeros((w,), jnp.int32)
         def one(s):
             return _step2(bvh, t_min, s)
 
@@ -797,8 +804,10 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
         st = jax.lax.while_loop(
             lambda s: jnp.any(s["sp"] > 0), stepped, st,
         )
-        return {k: st[k] for k in
-                ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")}
+        keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
+        if count_pops:
+            keys = keys + ("pops",)
+        return {k: st[k] for k in keys}
 
     init = dict(init, best_t=jnp.minimum(init["best_t"],
                                          jnp.asarray(rays.max_distance, f32)))
@@ -854,7 +863,8 @@ def _to_flat(bvh: TwoLevelBVH, local, inst):
 def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
                sort_rays: bool = True, stream_window: int = 0,
                refill_every: int = 8, prime_tri=None, tri_rows=None,
-               chunks: int = 16, unroll: int = 1):
+               chunks: int = 16, unroll: int = 1, sort_hint=None,
+               count_pops: bool = False):
     n_rays = rays.origin.shape[0]
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
     if shadow is None:
@@ -863,7 +873,17 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
     perm = None
     if sort_rays:
         bmin, bmax = _world_bounds(bvh)
-        perm = jnp.argsort(_sort_keys_generic(rays, live0, bmin, bmax))
+        key = _sort_keys_generic(rays, live0, bmin, bmax)
+        if sort_hint is not None:
+            # Workload-predictive major key: chunk trip count = the chunk's
+            # MAX steps, so grouping lanes by expected step count makes each
+            # chunk pay ~its mean instead of the global tail. Oracle-sorted
+            # lanes cut paid steps 5.3x -> 1.4x (docs/PERF.md round 2g).
+            # Coherence stays as the minor key (live key < 2^15; dead
+            # sentinel 1<<24 still sorts last).
+            hq = jnp.clip(sort_hint // 2, 0, 63)
+            key = jnp.where(live0, hq * (1 << 15) + key, key)
+        perm = jnp.argsort(key)
         # ONE wide-row permutation gather instead of six narrow ones: XLA
         # gather cost is per ROW, nearly width-independent to 128 f32
         # (docs/PERF.md round 1); the profiled per-bounce permutation
@@ -904,63 +924,48 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             bvh, rays, t_min, live0, shadow, init,
             window=stream_window, refill_every=refill_every, dead_last=sort_rays,
         )
+        if count_pops:  # stream mode has no per-lane counter; hint decays to 0
+            st["pops"] = jnp.zeros((n_rays,), jnp.int32)
     else:
         st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks,
-                                unroll=unroll)
+                                unroll=unroll, count_pops=count_pops)
 
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
         # the scatter formulation at 65k lanes (scripts/microbench_inv.py)
         inv = jnp.argsort(perm)
-        packed = jnp.stack(
-            [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
-             st["best_v"], st["found"].astype(jnp.float32),
-             _encode_ids(st["best_inst"])], axis=1)
+        cols = [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
+                st["best_v"], st["found"].astype(jnp.float32),
+                _encode_ids(st["best_inst"])]
+        if count_pops:
+            cols.append(_encode_ids(st["pops"]))
+        packed = jnp.stack(cols, axis=1)
         out = jnp.take(packed, inv, axis=0)  # one wide unsort gather
         st = dict(
             best_t=out[:, 0], best_tri=_decode_ids(out[:, 1]),
             best_u=out[:, 2], best_v=out[:, 3], found=out[:, 4] > 0.5,
             best_inst=_decode_ids(out[:, 5]),
         )
+        if count_pops:
+            st["pops"] = _decode_ids(out[:, 6])
     return st
 
 
 def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
                 sort_rays: bool = True, stream_window: int = 0,
                 refill_every: int = 8, prime_tri=None, tri_rows=None,
-                chunks: int = 16, unroll: int = 1) -> Hits:
+                chunks: int = 16, unroll: int = 1, sort_hint=None,
+                count_pops: bool = False):
     """Closest hit; returns FLAT triangle ids (instance tri base + local) so
     the shade path is identical to the flattened backend's. stream_window=0
     uses the chunked execution strategy (measured faster once the shift-stack
-    made steps cheap, docs/PERF.md round 2)."""
+    made steps cheap, docs/PERF.md round 2). With count_pops=True returns
+    (Hits, per-lane useful step counts) for the workload-predictive sort."""
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=None, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
         prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks, unroll=unroll,
-    )
-    found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
-    flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
-    return Hits(
-        t=jnp.where(found, st["best_t"], jnp.inf),
-        triangle=jnp.where(found, flat, -1),
-        u=st["best_u"],
-        v=st["best_v"],
-    )
-
-
-def trace_mixed(bvh: TwoLevelBVH, rays: Rays, shadow, t_min: float = 0.0,
-                mask=None, sort_rays: bool = True, stream_window: int = 0,
-                refill_every: int = 8, chunks: int = 16, unroll: int = 1):
-    """One traversal over a MIXED batch (wide.trace_mixed's two-level twin):
-    lanes with shadow=True run any-hit and retire at first hit, the rest run
-    closest-hit. Fuses the wavefront's next-bounce + deferred-shadow
-    traversals into a single sorted/chunked call (halves per-bounce sort /
-    permutation / loop-launch overhead). Returns (Hits with FLAT tri ids,
-    occluded flags)."""
-    st = _traverse2(
-        bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
-        stream_window=stream_window, refill_every=refill_every,
-        chunks=chunks, unroll=unroll,
+        sort_hint=sort_hint, count_pops=count_pops,
     )
     found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
     flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
@@ -970,20 +975,56 @@ def trace_mixed(bvh: TwoLevelBVH, rays: Rays, shadow, t_min: float = 0.0,
         u=st["best_u"],
         v=st["best_v"],
     )
+    if count_pops:
+        return hits, st["pops"]
+    return hits
+
+
+def trace_mixed(bvh: TwoLevelBVH, rays: Rays, shadow, t_min: float = 0.0,
+                mask=None, sort_rays: bool = True, stream_window: int = 0,
+                refill_every: int = 8, chunks: int = 16, unroll: int = 1,
+                sort_hint=None, count_pops: bool = False):
+    """One traversal over a MIXED batch (wide.trace_mixed's two-level twin):
+    lanes with shadow=True run any-hit and retire at first hit, the rest run
+    closest-hit. Fuses the wavefront's next-bounce + deferred-shadow
+    traversals into a single sorted/chunked call (halves per-bounce sort /
+    permutation / loop-launch overhead). Returns (Hits with FLAT tri ids,
+    occluded flags[, per-lane pops when count_pops=True])."""
+    st = _traverse2(
+        bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
+        stream_window=stream_window, refill_every=refill_every,
+        chunks=chunks, unroll=unroll, sort_hint=sort_hint,
+        count_pops=count_pops,
+    )
+    found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
+    flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
+    hits = Hits(
+        t=jnp.where(found, st["best_t"], jnp.inf),
+        triangle=jnp.where(found, flat, -1),
+        u=st["best_u"],
+        v=st["best_v"],
+    )
+    if count_pops:
+        return hits, st["found"] & shadow, st["pops"]
     return hits, st["found"] & shadow
 
 
 def any_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
             sort_rays: bool = True, stream_window: int = 0,
             refill_every: int = 8, prime_tri=None, tri_rows=None,
-            return_tri: bool = False, chunks: int = 16, unroll: int = 1):
+            return_tri: bool = False, chunks: int = 16, unroll: int = 1,
+            sort_hint=None, count_pops: bool = False):
     shadow = jnp.ones((rays.origin.shape[0],), bool)
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
         prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks, unroll=unroll,
+        sort_hint=sort_hint, count_pops=count_pops,
     )
+    out = (st["found"],)
     if return_tri:
         flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
-        return st["found"], jnp.where(st["found"], flat, -1)
-    return st["found"]
+        out = out + (jnp.where(st["found"], flat, -1),)
+    if count_pops:
+        out = out + (st["pops"],)
+    return out if len(out) > 1 else out[0]

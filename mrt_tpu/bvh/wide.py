@@ -547,7 +547,8 @@ def _prime_hits(rays: Rays, prime_tri, tri_rows, t_min):
 def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
               chunks: int = 1, sort_rays: bool = False, shadow=None,
               profile: bool = False, prime_tri=None, tri_rows=None,
-              stream_window: int = 0, refill_every: int = 8, unroll: int = 1):
+              stream_window: int = 0, refill_every: int = 8, unroll: int = 1,
+              sort_hint=None, count_pops: bool = False):
     """Chunked, optionally sorted traversal wrapper around the core loop.
 
     ``shadow``: optional (R,) bool — per-lane any-hit mode (shadow lanes
@@ -568,7 +569,14 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
 
     perm = None
     if sort_rays:
-        perm = jnp.argsort(_sort_keys(wbvh, rays, live0))
+        key = _sort_keys(wbvh, rays, live0)
+        if sort_hint is not None:
+            # workload-predictive major key (see twolevel._traverse2):
+            # group lanes by expected step count so each chunk's while trip
+            # count approaches its mean instead of the global tail
+            hq = jnp.clip(sort_hint // 2, 0, 63)
+            key = jnp.where(live0, hq * (1 << 15) + key, key)
+        perm = jnp.argsort(key)
         # ONE wide-row permutation gather instead of six narrow ones (XLA
         # gather cost is per ROW, ~width-independent to 128 f32; each 65k-row
         # permutation gather profiled at ~0.5 ms, docs/PERF.md round 2b).
@@ -603,6 +611,8 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
             window=stream_window, refill_every=refill_every, profile=profile,
             dead_last=sort_rays,  # sorted pools put masked-off rays last
         )
+        if count_pops and "pops" not in st:
+            st["pops"] = jnp.zeros((n_rays,), jnp.int32)
     elif chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
@@ -617,13 +627,15 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
                 outs.append(_traverse_flat(
                     wbvh, Rays(rays.origin[sl], rays.direction[sl],
                                rays.max_distance[sl]),
-                    t_min, m[sl], shadow[sl], profile, ini, unroll=unroll))
+                    t_min, m[sl], shadow[sl], profile, ini, unroll=unroll,
+                    count_pops=count_pops))
             st = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
         else:
             def chunk_fn(args):
                 r_o, r_d, r_m, mm, sh, ini = args
                 return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, mm, sh,
-                                      profile, ini, unroll=unroll)
+                                      profile, ini, unroll=unroll,
+                                      count_pops=count_pops)
 
             init_c = (
                 {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
@@ -644,7 +656,7 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
             st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
     else:
         st = _traverse_flat(wbvh, rays, t_min, mask, shadow, profile, init,
-                            unroll=unroll)
+                            unroll=unroll, count_pops=count_pops)
 
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
@@ -653,19 +665,23 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
         if profile:
             st = {k: jnp.take(v, inv, axis=0) for k, v in st.items()}
         else:
-            packed = jnp.stack(
-                [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
-                 st["best_v"], st["found"].astype(jnp.float32)], axis=1)
+            cols = [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
+                    st["best_v"], st["found"].astype(jnp.float32)]
+            if count_pops:
+                cols.append(_encode_ids(st["pops"]))
+            packed = jnp.stack(cols, axis=1)
             out = jnp.take(packed, inv, axis=0)  # one wide unsort gather
             st = dict(
                 best_t=out[:, 0], best_tri=_decode_ids(out[:, 1]),
                 best_u=out[:, 2], best_v=out[:, 3], found=out[:, 4] > 0.5,
             )
+            if count_pops:
+                st["pops"] = _decode_ids(out[:, 5])
     return st
 
 
 def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
-                   init=None, unroll: int = 1):
+                   init=None, unroll: int = 1, count_pops: bool = False):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -698,6 +714,8 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     if profile:
         state["pops"] = jnp.zeros((n_rays,), jnp.int32)
         state["iters"] = jnp.zeros((n_rays,), jnp.int32)
+    elif count_pops:
+        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
 
     def cond(st):
         live = (st["sp"] > 0) & ~(st["found"] & shadow)
@@ -712,6 +730,8 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         if profile:
             st["pops"] = st["pops"] + active.astype(jnp.int32)
             st["iters"] = st["iters"] + 1
+        elif count_pops:
+            st["pops"] = st["pops"] + active.astype(jnp.int32)
 
         row = jnp.take(table, entry, axis=0)  # (R, 64) THE gather
         is_leaf = entry >= n_i
@@ -770,6 +790,8 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     keys = ("best_t", "best_tri", "best_u", "best_v", "found")
     if profile:
         keys = keys + ("pops", "iters")
+    elif count_pops:
+        keys = keys + ("pops",)
     return {k: st[k] for k in keys}
 
 
@@ -1017,26 +1039,32 @@ def closest_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
     stream_window: int = 0, refill_every: int = 8, unroll: int = 1,
-) -> Hits:
+    sort_hint=None, count_pops: bool = False,
+):
     st = _traverse(
         wbvh, rays, t_min, any_hit_mode=False, mask=mask, chunks=chunks,
         sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
         stream_window=stream_window, refill_every=refill_every, unroll=unroll,
+        sort_hint=sort_hint, count_pops=count_pops,
     )
     found = st["best_tri"] >= 0
-    return Hits(
+    hits = Hits(
         t=jnp.where(found, st["best_t"], jnp.inf),
         triangle=st["best_tri"],
         u=st["best_u"],
         v=st["best_v"],
     )
+    if count_pops:
+        return hits, st["pops"]
+    return hits
 
 
 def trace_mixed(
     wbvh: WideBVH, rays: Rays, shadow: jnp.ndarray, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, stream_window: int = 0,
-    refill_every: int = 8, unroll: int = 1,
-) -> tuple[Hits, jnp.ndarray]:
+    refill_every: int = 8, unroll: int = 1, sort_hint=None,
+    count_pops: bool = False,
+):
     """One traversal over a MIXED batch: lanes with shadow=True run any-hit
     (retire at first hit), the rest run closest-hit. Fuses the wavefront's
     next-bounce + shadow traversals into a single sorted/chunked call.
@@ -1046,6 +1074,7 @@ def trace_mixed(
         wbvh, rays, t_min, any_hit_mode=False, mask=mask,
         chunks=chunks, sort_rays=sort_rays, shadow=shadow,
         stream_window=stream_window, refill_every=refill_every, unroll=unroll,
+        sort_hint=sort_hint, count_pops=count_pops,
     )
     found = st["best_tri"] >= 0
     hits = Hits(
@@ -1054,6 +1083,8 @@ def trace_mixed(
         u=st["best_u"],
         v=st["best_v"],
     )
+    if count_pops:
+        return hits, st["found"] & shadow, st["pops"]
     return hits, st["found"] & shadow
 
 
@@ -1061,7 +1092,7 @@ def any_hit(
     wbvh: WideBVH, rays: Rays, t_min: float = 0.0, mask=None,
     chunks: int = 1, sort_rays: bool = False, prime_tri=None, tri_rows=None,
     return_tri: bool = False, stream_window: int = 0, refill_every: int = 8,
-    unroll: int = 1,
+    unroll: int = 1, sort_hint=None, count_pops: bool = False,
 ):
     """Occlusion query. With prime_tri/tri_rows, lanes whose cached occluder
     still blocks retire after ONE row gather (shadow caching — the dominant
@@ -1073,7 +1104,11 @@ def any_hit(
         wbvh, rays, t_min, any_hit_mode=True, mask=mask, chunks=chunks,
         sort_rays=sort_rays, prime_tri=prime_tri, tri_rows=tri_rows,
         stream_window=stream_window, refill_every=refill_every, unroll=unroll,
+        sort_hint=sort_hint, count_pops=count_pops,
     )
+    out = (st["found"],)
     if return_tri:
-        return st["found"], jnp.where(st["found"], st["best_tri"], -1)
-    return st["found"]
+        out = out + (jnp.where(st["found"], st["best_tri"], -1),)
+    if count_pops:
+        out = out + (st["pops"],)
+    return out if len(out) > 1 else out[0]

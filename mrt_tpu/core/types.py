@@ -208,6 +208,18 @@ class RenderSettings:
     # motion-debug need the per-sample structure.
     persistent_samples: bool = False
     sort_rays: bool = True
+    # Workload-predictive lane sort: group lanes by expected traversal step
+    # count (camera rays: previous frame's per-pixel count; bounce/shadow
+    # rays: the lane's previous traversal this sample) so each chunk's
+    # while-loop trip count approaches its MEAN instead of the global tail.
+    # Oracle-sorted lanes measured paid-steps waste 5.3x -> 1.4x
+    # (docs/PERF.md round 2g). Results are bit-exact (sorting is undone).
+    workload_sort: bool = True
+    # Extend the hint to bounce/shadow rays using each lane's previous
+    # traversal's step count ("rolling"). Measured SLOWER at the quick
+    # config (3.10 vs 3.35: bounce-step correlation is too weak and the
+    # mixed closest/shadow batch mispredicts) — camera-only is the default.
+    workload_sort_rolling: bool = False
     # Shadow rays start at coherent hit points toward a light -- often
     # coherent enough without the per-traversal sort+permute round trip.
     sort_shadow_rays: bool = True

@@ -110,7 +110,7 @@ def _prepare_frame(settings, statics, scene, bvh, skin_bundle=(), joint_matrices
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _trace_tile_frame(settings, statics, scene, bvh, geom, uniforms,
-                      px, py, offs, pmot, pp, ps, table_patch=None):
+                      px, py, offs, pmot, pp, ps, hint, table_patch=None):
     """Staged-path stage 2: trace ONE fixed-size pixel tile as its own
     program, with the BVH table forced to be an in-program INTERMEDIATE.
 
@@ -128,12 +128,13 @@ def _trace_tile_frame(settings, statics, scene, bvh, geom, uniforms,
         bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
     with jax.named_scope("trace"):
         return wf.trace_tile(settings, statics, scene, bvh, geom, uniforms,
-                             px, py, offs, pmot, prime_primary=pp, prime_shadow=ps)
+                             px, py, offs, pmot, prime_primary=pp, prime_shadow=ps,
+                             step_hint=hint)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
-                           offsets, prev_motion, pp, ps, table_patch=None):
+                           offsets, prev_motion, pp, ps, hint, table_patch=None):
     """Staged-path stage 2 (tile-loop variant): trace EVERY tile inside ONE
     program (``trace_block``'s lax.map over fixed-size tiles), with the same
     in-program table-intermediate trick as ``_trace_tile_frame``.
@@ -149,7 +150,7 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
     with jax.named_scope("trace"):
         return wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
                               offsets, prev_motion,
-                              prime_primary=pp, prime_shadow=ps)
+                              prime_primary=pp, prime_shadow=ps, step_hint=hint)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -161,7 +162,8 @@ def _finish_frame(settings, uniforms, color, motion, prev_motion, prev_accum):
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, prev_motion,
-                  skin_bundle=(), joint_matrices=(), prime_primary=None, prime_shadow=None):
+                  skin_bundle=(), joint_matrices=(), prime_primary=None, prime_shadow=None,
+                  step_hint=None):
     """One frame: skinning -> transforms -> refit -> trace tiles -> accumulate.
 
     offsets: (H,W) int32; prev_accum: (H,W,3); prev_motion: (H,W,2).
@@ -175,6 +177,7 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
         out = wf.trace_block(
             settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion,
             prime_primary=prime_primary, prime_shadow=prime_shadow,
+            step_hint=step_hint,
         )
 
     with jax.named_scope("accumulate"):
@@ -190,7 +193,7 @@ def _render_frame(settings, statics, scene, bvh, uniforms, offsets, prev_accum, 
             roughness=out.roughness,
         )
     return (accum, out.depth, out.motion, gbuffer, scene.positions_obj, rays_traced,
-            out.prime_primary, out.prime_shadow)
+            out.prime_primary, out.prime_shadow, out.step_hint)
 
 
 class FrameStats:
@@ -276,6 +279,7 @@ class Renderer:
         self.persistent_samples = T.RenderSettings.persistent_samples
         self.sort_shadow_rays = T.RenderSettings.sort_shadow_rays
         self.sort_rays = T.RenderSettings.sort_rays
+        self.workload_sort = T.RenderSettings.workload_sort
         self.traversal_backend = T.RenderSettings.traversal_backend
         self.cluster_packet = T.RenderSettings.cluster_packet
         self.hit_priming = T.RenderSettings.hit_priming
@@ -404,6 +408,7 @@ class Renderer:
             persistent_samples=self.persistent_samples,
             sort_shadow_rays=self.sort_shadow_rays,
             sort_rays=self.sort_rays,
+            workload_sort=self.workload_sort,
             traversal_backend=self.traversal_backend,
             cluster_packet=self.cluster_packet,
             hit_priming=self.hit_priming,
@@ -430,6 +435,9 @@ class Renderer:
         # re-verified every frame, so they survive accumulation resets
         self.prime_primary = jnp.full((h, w), -1, jnp.int32)
         self.prime_shadow = jnp.full((h, w), -1, jnp.int32)
+        # workload-predictive sort hint: previous frame's per-pixel camera
+        # traversal step counts (a hint, not history — survives resets)
+        self.step_hint = jnp.zeros((h, w), jnp.int32)
         self._state_size = (h, w)
         self.frame_index = 0
 
@@ -562,10 +570,10 @@ class Renderer:
 
         if self.staged_frame:
             (accum, depth, motion, gbuffer, skinned_pos, rays_traced,
-             prime_primary, prime_shadow) = self._draw_staged(uniforms)
+             prime_primary, prime_shadow, step_hint) = self._draw_staged(uniforms)
         else:
             (accum, depth, motion, gbuffer, skinned_pos, rays_traced,
-             prime_primary, prime_shadow) = _render_frame(
+             prime_primary, prime_shadow, step_hint) = _render_frame(
                 self.settings(),
                 self.statics,
                 self.scene_data,
@@ -578,9 +586,11 @@ class Renderer:
                 self._joint_matrices,
                 self.prime_primary,
                 self.prime_shadow,
+                self.step_hint,
             )
         self.accum, self.depth, self.motion, self.gbuffer = accum, depth, motion, gbuffer
         self.prime_primary, self.prime_shadow = prime_primary, prime_shadow
+        self.step_hint = step_hint
         self.last_rays_traced = rays_traced  # device scalar; int() to read
         self.stats.record(rays_traced)
         if self.statics.skin_slices:
@@ -641,7 +651,7 @@ class Renderer:
             out = _trace_all_tiles_frame(
                 settings, statics, scene2, bvh2, geom, uniforms,
                 self.offsets, self.motion, self.prime_primary,
-                self.prime_shadow, patch,
+                self.prime_shadow, self.step_hint, patch,
             )
             rays_total = jnp.sum(out.rays_traced.astype(jnp.int64))
             gbuffer = None
@@ -655,7 +665,8 @@ class Renderer:
             accum = _finish_frame(settings, uniforms, out.color, out.motion,
                                   self.motion, self.accum)
             return (accum, out.depth, out.motion, gbuffer, scene2.positions_obj,
-                    rays_total, out.prime_primary, out.prime_shadow)
+                    rays_total, out.prime_primary, out.prime_shadow,
+                    out.step_hint)
 
         n_pix = h * w
         tile = min(self.tile_pixels, n_pix)
@@ -683,6 +694,7 @@ class Renderer:
         pmot = flat_pad(self.motion)
         pp = flat_pad(self.prime_primary, -1)
         ps = flat_pad(self.prime_shadow, -1)
+        hint = flat_pad(self.step_hint)
 
         outs = []
         for t in range(n_tiles):
@@ -690,7 +702,7 @@ class Renderer:
             outs.append(_trace_tile_frame(
                 settings, statics, scene2, bvh2, geom, uniforms,
                 self._tile_px[t], self._tile_py[t],
-                offs[sl], pmot[sl], pp[sl], ps[sl], patch,
+                offs[sl], pmot[sl], pp[sl], ps[sl], hint[sl], patch,
             ))
 
         def cat(field):
@@ -705,6 +717,7 @@ class Renderer:
         rays_total = jnp.sum(cat("rays_traced").astype(jnp.int64))
         prime_primary = cat("prime_primary")
         prime_shadow = cat("prime_shadow")
+        step_hint = cat("step_hint")
         gbuffer = None
         if settings.enable_gbuffer:
             gbuffer = dict(
@@ -715,7 +728,7 @@ class Renderer:
             )
         accum = _finish_frame(settings, uniforms, color, motion, self.motion, self.accum)
         return (accum, depth, motion, gbuffer, scene2.positions_obj, rays_total,
-                prime_primary, prime_shadow)
+                prime_primary, prime_shadow, step_hint)
 
     def _update_animation(self, delta_time: float | None):
         """60 Hz-throttled animation stepping with catch-up

@@ -146,6 +146,8 @@ class TileOutputs(NamedTuple):
     prime_primary: jnp.ndarray  # (P,) int32 this frame's primary hit tri
     prime_shadow: jnp.ndarray  # (P,) int32 this frame's bounce-0 occluder tri
     # (both feed the next frame's hit/occluder priming, bvh/wide._prime_hits)
+    step_hint: jnp.ndarray  # (P,) int32 camera-ray traversal step counts —
+    # next frame's workload-predictive sort key (docs/PERF.md round 2g)
 
 
 def sample_environment(env_map: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -222,6 +224,8 @@ def trace_tile(
     # parallel shards pass (frame_index * sp_size + sp_rank) * sample_stride.
     prime_primary: jnp.ndarray | None = None,  # (P,) int32 cached primary tri
     prime_shadow: jnp.ndarray | None = None,  # (P,) int32 cached occluder tri
+    step_hint: jnp.ndarray | None = None,  # (P,) int32 prev-frame camera step
+    # counts (workload-predictive traversal sort; 0 = no prediction)
 ) -> TileOutputs:
     P = pixel_x.shape[0]
     f32 = jnp.float32
@@ -230,6 +234,8 @@ def trace_tile(
         prime_primary = jnp.full((P,), -1, jnp.int32)
     if prime_shadow is None:
         prime_shadow = jnp.full((P,), -1, jnp.int32)
+    if step_hint is None:
+        step_hint = jnp.zeros((P,), jnp.int32)
 
     base_samples = settings.base_samples
     max_extra = settings.max_extra_samples
@@ -260,6 +266,18 @@ def trace_tile(
         and not fused
         and not settings.geometry_axis
     )
+    # Workload-predictive lane sort (docs/PERF.md round 2g): sort lanes by
+    # their expected traversal step count (camera rays: previous frame's
+    # count for the pixel; bounce/shadow rays: the lane's previous traversal
+    # this sample) so chunk while-trip counts approach the chunk MEAN
+    # instead of the global tail. Results are bit-exact (sorting is undone).
+    worksort = (
+        settings.workload_sort
+        and settings.sort_rays
+        and settings.traversal_backend == "wide"
+        and settings.traversal_stream == 0
+        and not settings.geometry_axis
+    )
     # chunked (stream_window=0) measured best after the shift-stack fix
     stream_w2 = settings.traversal_stream
 
@@ -284,7 +302,7 @@ def trace_tile(
         ray_o = jnp.broadcast_to(cam.position, (P, 3))
         return ray_o, ray_d
 
-    def init_state(sidx, prime_p, prime_s, had0, motion0):
+    def init_state(sidx, prime_p, prime_s, had0, motion0, hint0=None):
         """Bounce-loop lane state for lanes starting sample ``sidx``."""
         ray_o, ray_d = camera_rays(sidx)
         state = dict(
@@ -335,6 +353,12 @@ def trace_tile(
                 pend_dist=jnp.zeros((P,), f32),
                 pend_contrib=zero3,
             )
+        if worksort:
+            h0 = step_hint if hint0 is None else hint0
+            state.update(
+                last_pops=h0,  # rolling per-lane expected-work hint
+                cam_pops=h0,  # camera-ray step counts -> next frame's hint
+            )
         return state
 
     def cond(st):
@@ -354,6 +378,15 @@ def trace_tile(
             # generalization of the old "iter == 0" camera-ray marker
             is_cam = (st["bounce"] == 0) & (st["step"] == 0)
             active = st["active"]
+            if worksort:
+                # camera lanes use the per-pixel hint; bounce lanes only
+                # carry a hint in rolling mode (measured slower — see
+                # RenderSettings.workload_sort_rolling)
+                rolling = settings.workload_sort_rolling
+                hint_closest = (st["last_pops"] if rolling
+                                else jnp.where(is_cam, st["last_pops"], 0))
+                hint_shadow = (st["last_pops"] if rolling
+                               else jnp.zeros((P,), jnp.int32))
             st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
             n_chunks = settings.traversal_chunks if P % max(settings.traversal_chunks, 1) == 0 else 1
@@ -370,12 +403,27 @@ def trace_tile(
                 both_mask = jnp.concatenate([active, st["pend_mask"]])
                 n_chunks2 = 2 * n_chunks if (2 * P) % max(2 * n_chunks, 1) == 0 else 1
                 _tm = twolevel.trace_mixed if two_level else wide.trace_mixed
-                hits2, occ2 = _tm(
-                    bvh, batch, shadow_lane, mask=both_mask,
-                    chunks=n_chunks2, sort_rays=settings.sort_rays,
-                    stream_window=2 * settings.traversal_stream,
-                    refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
-                )
+                if worksort:
+                    hint2 = jnp.concatenate([hint_closest, hint_shadow])
+                    hits2, occ2, pops2 = _tm(
+                        bvh, batch, shadow_lane, mask=both_mask,
+                        chunks=n_chunks2, sort_rays=settings.sort_rays,
+                        stream_window=2 * settings.traversal_stream,
+                        refill_every=settings.stream_refill,
+                        unroll=settings.traversal_unroll,
+                        sort_hint=hint2, count_pops=True,
+                    )
+                    pc = pops2[:P]
+                    st["last_pops"] = jnp.where(active, pc, st["last_pops"])
+                    st["cam_pops"] = jnp.where(
+                        is_cam & active, pc, st["cam_pops"])
+                else:
+                    hits2, occ2 = _tm(
+                        bvh, batch, shadow_lane, mask=both_mask,
+                        chunks=n_chunks2, sort_rays=settings.sort_rays,
+                        stream_window=2 * settings.traversal_stream,
+                        refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                    )
                 hits = T.Hits(
                     t=hits2.t[:P], triangle=hits2.triangle[:P],
                     u=hits2.u[:P], v=hits2.v[:P],
@@ -395,7 +443,14 @@ def trace_tile(
                     chunks=n_chunks,
                     prime_tri=(jnp.where(is_cam, st["pp_cur"], -1) if priming else None),
                     tri_rows=(geom.motion_rows if priming else None),
+                    sort_hint=(hint_closest if worksort else None),
+                    count_pops=worksort,
                 )
+                if worksort:
+                    hits, pops_c = hits
+                    st["last_pops"] = jnp.where(active, pops_c, st["last_pops"])
+                    st["cam_pops"] = jnp.where(
+                        is_cam & active, pops_c, st["cam_pops"])
                 if priming:
                     st["prim_out"] = jnp.where(
                         is_cam & active, hits.triangle, st["prim_out"]
@@ -409,7 +464,14 @@ def trace_tile(
                     tri_rows=geom.motion_rows,
                     stream_window=settings.traversal_stream,
                     refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                    sort_hint=(hint_closest if worksort else None),
+                    count_pops=worksort,
                 )
+                if worksort:
+                    hits, pops_c = hits
+                    st["last_pops"] = jnp.where(active, pops_c, st["last_pops"])
+                    st["cam_pops"] = jnp.where(
+                        is_cam & active, pops_c, st["cam_pops"])
                 st["prim_out"] = jnp.where(
                     is_cam & active, hits.triangle, st["prim_out"]
                 )
@@ -418,7 +480,14 @@ def trace_tile(
                     bvh, rays, mask=active, chunks=n_chunks, sort_rays=settings.sort_rays,
                     stream_window=settings.traversal_stream,
                     refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                    sort_hint=(hint_closest if worksort else None),
+                    count_pops=worksort,
                 )
+                if worksort:
+                    hits, pops_c = hits
+                    st["last_pops"] = jnp.where(active, pops_c, st["last_pops"])
+                    st["cam_pops"] = jnp.where(
+                        is_cam & active, pops_c, st["cam_pops"])
             if settings.geometry_axis:
                 hits = combine_hits_across(hits, settings.geometry_axis)
             hit = hits.hit & active
@@ -774,6 +843,7 @@ def trace_tile(
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
+                            sort_hint=(hint_shadow if worksort else None),
                         )
                         if priming:
                             st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
@@ -787,6 +857,7 @@ def trace_tile(
                             tri_rows=geom.motion_rows, return_tri=True,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                            sort_hint=(hint_shadow if worksort else None),
                         )
                         st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
                         st["ps_out"] = jnp.where(
@@ -798,6 +869,7 @@ def trace_tile(
                             sort_rays=settings.sort_rays and settings.sort_shadow_rays,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                            sort_hint=(hint_shadow if worksort else None),
                         )
                     if settings.geometry_axis:
                         occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
@@ -861,6 +933,7 @@ def trace_tile(
                             prime_tri=(st["occ_prime"] if priming else None),
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
+                            sort_hint=(hint_shadow if worksort else None),
                         )
                         if priming:
                             st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
@@ -874,6 +947,7 @@ def trace_tile(
                             tri_rows=geom.motion_rows, return_tri=True,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                            sort_hint=(hint_shadow if worksort else None),
                         )
                         st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
                         st["ps_out"] = jnp.where(
@@ -885,6 +959,7 @@ def trace_tile(
                             sort_rays=settings.sort_rays and settings.sort_shadow_rays,
                             stream_window=settings.traversal_stream,
                             refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                            sort_hint=(hint_shadow if worksort else None),
                         )
                     if settings.geometry_axis:
                         occluded = jax.lax.pmax(occluded.astype(jnp.int32), settings.geometry_axis) > 0
@@ -942,15 +1017,16 @@ def trace_tile(
         return st
 
     def trace_one_sample(sample_index, total_color, had0, depth0, motion0, g0,
-                         prime_p, prime_s):
+                         prime_p, prime_s, hint):
         """Body of the spp loop (Raytracing.metal:269-790). Returns the
         sample radiance and (on sample 0) primary depth/motion/G-buffer."""
         state = init_state(jnp.full((P,), sample_index, jnp.int32),
-                           prime_p, prime_s, had0, motion0)
+                           prime_p, prime_s, had0, motion0, hint0=hint)
         st = jax.lax.while_loop(cond, body, state)
         st = project_primary(st)
         new_pp = st["prim_out"] if priming else prime_p
         new_ps = st["ps_out"] if priming else prime_s
+        new_hint = st["cam_pops"] if worksort else hint
         return (
             st["accumulated"],
             st["had_primary"],
@@ -960,6 +1036,7 @@ def trace_tile(
             st["rays"],
             new_pp,
             new_ps,
+            new_hint,
         )
 
     # --- persistent-lane driver ----------------------------------------------
@@ -1023,17 +1100,19 @@ def trace_tile(
     # (Raytracing.metal:263-293,779-789)
     def sample_body(carry):
         (sample_index, total_color, total_samples, had0, depth0, motion0, g0,
-         rays_total, pp, ps) = carry
-        radiance, had, depth, motion, g, rays_n, pp_new, ps_new = trace_one_sample(
-            sample_index, total_color, had0, depth0, motion0, g0, pp, ps
+         rays_total, pp, ps, hint) = carry
+        (radiance, had, depth, motion, g, rays_n, pp_new, ps_new,
+         hint_new) = trace_one_sample(
+            sample_index, total_color, had0, depth0, motion0, g0, pp, ps, hint
         )
         counted = sample_index < total_samples
         total_color = total_color + jnp.where(counted[:, None], radiance, 0.0)
         rays_total = rays_total + jnp.where(counted, rays_n, 0)
         # later samples of this pixel prime with THIS sample's primary hit /
-        # occluder (sub-pixel jitter rarely changes the triangle)
+        # occluder / camera step count (sub-pixel jitter rarely changes them)
         pp = jnp.where(counted, pp_new, pp)
         ps = jnp.where(counted, ps_new, ps)
+        hint = jnp.where(counted, hint_new, hint)
 
         is0 = sample_index == 0
         had0 = jnp.where(is0, had, had0)
@@ -1050,7 +1129,7 @@ def trace_tile(
             extra = jnp.clip(jnp.round(t * max_extra).astype(jnp.int32), 0, max_extra)
             total_samples = jnp.where(is0, base_samples + extra, total_samples)
         return (sample_index + 1, total_color, total_samples, had0, depth0, motion0,
-                g0, rays_total, pp, ps)
+                g0, rays_total, pp, ps, hint)
 
     P3 = jnp.zeros((P, 3), jnp.float32)
     carry0 = (
@@ -1064,6 +1143,7 @@ def trace_tile(
         jnp.zeros((P,), jnp.int32),
         jnp.asarray(prime_primary, jnp.int32),
         jnp.asarray(prime_shadow, jnp.int32),
+        jnp.asarray(step_hint, jnp.int32),
     )
 
     def sample_cond(carry):
@@ -1076,9 +1156,10 @@ def trace_tile(
     if persistent:
         (total_color, total_samples, had0, depth0, motion0, g0, rays_total,
          prime_p_out, prime_s_out) = _run_persistent()
+        hint_out = jnp.asarray(step_hint, jnp.int32)
     else:
         (_, total_color, total_samples, had0, depth0, motion0, g0, rays_total,
-         prime_p_out, prime_s_out) = jax.lax.while_loop(
+         prime_p_out, prime_s_out, hint_out) = jax.lax.while_loop(
             sample_cond, sample_body, carry0)
 
     # average all samples (Raytracing.metal:793)
@@ -1095,6 +1176,7 @@ def trace_tile(
         rays_traced=rays_total,
         prime_primary=prime_p_out,
         prime_shadow=prime_s_out,
+        step_hint=hint_out,
     )
 
 
@@ -1111,6 +1193,7 @@ def trace_block(
     sample_base: jnp.ndarray | None = None,
     prime_primary: jnp.ndarray | None = None,  # (h_blk, W) int32
     prime_shadow: jnp.ndarray | None = None,  # (h_blk, W) int32
+    step_hint: jnp.ndarray | None = None,  # (h_blk, W) int32
 ):
     """Trace a contiguous row block of the image, tiled into fixed-size ray
     batches via ``lax.map`` (the 16x16-threadgroup-grid analog,
@@ -1142,15 +1225,21 @@ def trace_block(
 
     pprim = pad_prime(prime_primary)
     pshad = pad_prime(prime_shadow)
+    if step_hint is None:
+        step_hint = jnp.zeros((h_blk, w), jnp.int32)
+    phint = jnp.pad(step_hint.reshape(-1), (0, padded - n_pix)).reshape(
+        n_tiles, tile
+    )
 
     def do_tile(args):
-        tpx, tpy, toffs, tpmot, tpp, tps = args
+        tpx, tpy, toffs, tpmot, tpp, tps, thint = args
         return trace_tile(
             settings, statics, scene, bvh, geom, uniforms, tpx, tpy, toffs, tpmot,
             sample_base=sample_base, prime_primary=tpp, prime_shadow=tps,
+            step_hint=thint,
         )
 
-    out = jax.lax.map(do_tile, (px, py, offs, pmot, pprim, pshad))
+    out = jax.lax.map(do_tile, (px, py, offs, pmot, pprim, pshad, phint))
 
     def unpad(a):
         a = a.reshape((padded,) + a.shape[2:])[:n_pix]

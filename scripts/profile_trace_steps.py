@@ -58,6 +58,8 @@ def main():
     n = 65536
     scene = make_app_scene(width=512, height=512, include_robot=False)
     r = Renderer(scene, output_width=512, output_height=512)
+    r.two_level = False  # this tool profiles the FLAT wide traversal
+    r.rebuild_bvh()
     r.upscaler_mode = UPSCALER_OFF
     bvh = r.bvh
     print(f"scene rows={bvh.n_rows} internal={bvh.n_internal} depth={bvh.depth}", flush=True)

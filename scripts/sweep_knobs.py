@@ -12,11 +12,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CASES = [
-    {"MRT_CHUNK_UNROLL": "1"},
-    {"MRT_FUSE": "1", "MRT_CHUNK_UNROLL": "1"},
-    {"MRT_FUSE": "1", "MRT_TILE": "65536"},
-    {"MRT_FUSE": "1", "MRT_UNROLL": "4"},
-    {"MRT_FUSE": "1", "MRT_PERSIST": "1"},
+    {"MRT_CHUNKS": "8"},
+    {"MRT_CHUNKS": "4"},
+    {"MRT_CHUNKS": "32"},
+    {"MRT_UNROLL": "4"},
+    {"MRT_CHUNKS": "8", "MRT_UNROLL": "4"},
 ]
 
 

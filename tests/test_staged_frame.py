@@ -118,3 +118,24 @@ def test_prepare_cache_hits_static_and_invalidates_on_change(monkeypatch):
     a = np.asarray(r.draw())
     b = np.asarray(r2.draw())
     assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+
+
+def test_workload_sort_populates_hint_and_is_bit_exact():
+    """The workload-predictive lane sort (docs/PERF.md round 2g) reorders
+    traversal lanes only — results must be bit-exact vs workload_sort=False,
+    and the per-pixel camera step-hint map must populate after a frame."""
+    ra = _renderer(True, tile_pixels=1024)
+    rb = _renderer(True, tile_pixels=1024)
+    ra.workload_sort = True
+    rb.workload_sort = False
+    for _ in range(3):
+        a = np.asarray(ra.draw())
+        b = np.asarray(rb.draw())
+    assert np.array_equal(a, b), np.abs(a - b).max()
+    hint = np.asarray(ra.step_hint)
+    assert hint.shape == (56, 72)
+    assert (hint > 0).any()  # camera-ray step counts recorded
+    # hints are hints, not history: they survive an accumulation reset
+    ra.orbit(5.0, 0.0)
+    ra.draw()
+    assert (np.asarray(ra.step_hint) > 0).any()
