@@ -4,11 +4,31 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import types as T
 
 PI = 3.14159265358979323846
+
+
+def take_rows_onehot(table, idx, max_rows: int = 128):
+    """Row lookup that lowers to a one-hot MXU matmul for TINY tables.
+
+    XLA TPU gather costs ~10-20 ns per output ROW nearly independent of
+    table size (docs/PERF.md round 1), so a 32k-lane lookup into the 13-row
+    material table profiled the SAME ~50 us as one into the 95k-row shade
+    table (round 2h xplane: fusion.325 / fusion.336 = 47 ms of a 1553 ms
+    frame). A (N,L)@(L,W) one-hot matmul is MXU noise instead. HIGHEST
+    precision keeps f32 rows bit-exact (a one-hot row SELECTS a value,
+    never mixes two). Falls back to gather above ``max_rows`` where the
+    one-hot itself would dominate."""
+    n_rows = table.shape[0]
+    if n_rows > max_rows:
+        return jnp.take(table, idx, axis=0)
+    onehot = (idx[:, None] == jnp.arange(n_rows, dtype=idx.dtype)[None, :])
+    return jnp.dot(onehot.astype(table.dtype), table,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def dot3(a, b):
@@ -116,7 +136,7 @@ def evaluate_light(lights: T.Lights, light_index: jnp.ndarray, u_area: jnp.ndarr
         ],
         axis=1,
     )  # (L, 20)
-    row = jnp.take(packed, light_index, axis=0)
+    row = take_rows_onehot(packed, light_index)
     ltype = row[:, 0].astype(jnp.int32)
     lpos = row[:, 1:4]
     lcol = row[:, 4:7]

@@ -590,7 +590,7 @@ def trace_tile(
                     return tex.packed_map(_packed_memo[0], map_type)
 
             # --- material + textures (Raytracing.metal:399-456) --------------
-            matrow = jnp.take(geom.mat_rows, res, axis=0)  # (P,16)
+            matrow = S.take_rows_onehot(geom.mat_rows, res)  # (P,16)
             albedo = matrow[:, 0:3]
             flags = matrow[:, 12].astype(jnp.uint32)
             tex_coord = u_b1 * srow[:, 11:13] + v_b1 * srow[:, 13:15] + w_b1 * srow[:, 9:11]
