@@ -45,7 +45,7 @@ from .wide import (
     _decode_ids,
     _encode_ids,
     _mt_leaf,
-    _sort_children,
+    _sorted_candidates,
     _sort_keys_generic,
     _stack_pop,
     _stack_push_sorted,
@@ -578,18 +578,16 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
     a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
     meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
     tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-    cols_t, cols_m = _sort_children(tA, meta)
+    cands, valid = _sorted_candidates(tA, meta, bvh.table.shape[0])
 
     lane_int = active & ~is_leaf & ~is_inst
-    cands = jnp.stack(cols_m, axis=1)  # ascending t: nearest first
     lane_iota = jnp.arange(ARITY, dtype=jnp.int32)[None, :]
     # instance lanes push exactly their BLAS root (candidate slot 0)
     cands = jnp.where(
         (inst_hit[:, None]) & (lane_iota == 0), blas_root[:, None], cands
     )
-    finite = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
     n_push = jnp.where(
-        lane_int, jnp.sum(finite.astype(jnp.int32), axis=1),
+        lane_int, jnp.sum(valid.astype(jnp.int32), axis=1),
         jnp.where(inst_hit, 1, 0),
     )
     st["stack"] = _stack_push_sorted(stack0, cands, n_push)

@@ -410,6 +410,54 @@ def _sort_children(t: jnp.ndarray, m: jnp.ndarray):
     return cols_t[:ARITY], cols_m[:ARITY]
 
 
+_META_BITS = 20  # packed sort key: [t-bits >> 20 | child id] — supports
+_META_MASK = (1 << _META_BITS) - 1  # tables to 1M rows; t keeps its top 12
+# bits (8 exp + 4 mantissa, ~3% ordering granularity)
+_KEY_MAX = (1 << 31) - 1
+
+
+def _sort_children_packed(tA, meta):
+    """Single-array child sort: pack (t, id) into one i32 key per child.
+
+    Child t is >= 0 (slab tnear clamped), and non-negative f32 bit patterns
+    order like the floats themselves, so the key's top 12 bits sort children
+    near-to-far while the low 20 bits carry the child id. Each bitonic
+    comparator is then one min + one max instead of compare + 4 selects —
+    the select chains were part of the 233-op/step band the round-2h xplane
+    profile showed dominating traversal (docs/PERF.md). Ties inside a ~3%
+    t bucket fall back to id order; traversal output is visit-order
+    independent (strict-less best updates), so quantization only perturbs
+    culling efficiency, never the result.
+
+    Returns (cands (R, ARITY) i32 ids nearest-first, valid (R, ARITY) bool).
+    """
+    valid = jnp.isfinite(tA) & (meta >= 0)
+    tbits = jax.lax.bitcast_convert_type(tA, jnp.int32)
+    key = ((tbits >> _META_BITS) << _META_BITS) | (meta & _META_MASK)
+    key = jnp.where(valid, key, _KEY_MAX)
+    cols = [key[:, k] for k in range(ARITY)] + [
+        jnp.full_like(key[:, 0], _KEY_MAX) for _ in range(_SORT_N - ARITY)
+    ]
+    for a, b in _SORT_PAIRS:
+        lo = jnp.minimum(cols[a], cols[b])
+        hi = jnp.maximum(cols[a], cols[b])
+        cols[a], cols[b] = lo, hi
+    keys = jnp.stack(cols[:ARITY], axis=1)
+    return keys & _META_MASK, keys != _KEY_MAX
+
+
+def _sorted_candidates(tA, meta, n_rows: int):
+    """Child sort dispatch: packed i32 keys when ids fit 20 bits (any scene
+    up to ~12M tris), else the carry-meta float network. Returns
+    (cands ids nearest-first, valid mask), both (R, ARITY)."""
+    if n_rows <= _META_MASK:
+        return _sort_children_packed(tA, meta)
+    cols_t, cols_m = _sort_children(tA, meta)
+    cands = jnp.stack(cols_m, axis=1)
+    valid = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
+    return cands, valid
+
+
 def _stack_pop(stack, active):
     """Top-at-slot-0 stack: read the top, shift live lanes left by one.
     Full-array rolls/selects vectorize on the VPU — the previous per-slot
@@ -761,12 +809,10 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
         meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
         t8 = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-        cols_t, cols_m = _sort_children(t8, meta)
+        cands, valid = _sorted_candidates(t8, meta, wbvh.n_rows)
 
         lane_int = active & ~is_leaf
-        cands = jnp.stack(cols_m, axis=1)  # ascending t: nearest first
-        finite = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
-        n_push = jnp.where(lane_int, jnp.sum(finite.astype(jnp.int32), axis=1), 0)
+        n_push = jnp.where(lane_int, jnp.sum(valid.astype(jnp.int32), axis=1), 0)
         stack = _stack_push_sorted(stack, cands, n_push)
         sp = jnp.minimum(sp + n_push, S)
 
@@ -944,12 +990,10 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
         a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
         meta = _decode_ids(row[:, META_OFF : META_OFF + ARITY])
         tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-        cols_t, cols_m = _sort_children(tA, meta)
+        cands, valid = _sorted_candidates(tA, meta, wbvh.n_rows)
 
         lane_int = active & ~is_leaf
-        cands = jnp.stack(cols_m, axis=1)  # ascending t: nearest first
-        finite = jnp.stack([jnp.isfinite(c) for c in cols_t], axis=1)
-        n_push = jnp.where(lane_int, jnp.sum(finite.astype(jnp.int32), axis=1), 0)
+        n_push = jnp.where(lane_int, jnp.sum(valid.astype(jnp.int32), axis=1), 0)
         st["stack"] = _stack_push_sorted(stack0, cands, n_push)
         st["sp"] = jnp.minimum(sp + n_push, S)
         return st

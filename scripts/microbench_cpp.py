@@ -67,6 +67,17 @@ def timed(fn, *args):
                 mrays_s=round(N / best / 1e6, 2))
 
 
+if MODE.endswith("_incoh"):
+    # bounce/shadow-class ray mix: random origins inside the cloud, random
+    # unit directions — the production frame's mid-path distribution, vs the
+    # near-collimated camera bundle above. Discriminates whether the frame's
+    # ~25x slower per-row gather rate (round 2h xplane) is ray coherence.
+    o = rng.uniform(0.1, 0.9, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro, rd = jnp.asarray(o), jnp.asarray(d)
+    MODE = MODE[: -len("_incoh")]
+
 out = dict(mode=MODE, n_tris=N_TRIS, rows=bvh.n_rows,
            mb=round(bvh.n_rows * wide.ROW * 4 / 1e6, 2))
 
@@ -150,11 +161,16 @@ def main():
     ]
     if "--interleave" in sys.argv:
         cases = [("inprog_interleave", 100_000), ("inprog_interleave", 800_000)]
+    if "--incoh" in sys.argv:
+        cases = [("plain", 100_000), ("plain_incoh", 100_000),
+                 ("inprog_incoh", 100_000), ("inprog_interleave_incoh", 100_000)]
     for mode, n in cases:
         code = CHILD.replace("REPO", repr(repo))
         try:
+            # NO subprocess timeout: killing a child mid-TPU-work wedges the
+            # axon grant for every process after (CLAUDE.md round-2h incident)
             p = subprocess.run([sys.executable, "-c", code, mode, str(n)],
-                               capture_output=True, text=True, timeout=2400)
+                               capture_output=True, text=True)
             lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
             print(lines[-1] if lines else json.dumps(
                 {"mode": mode, "error": p.stderr[-200:]}), flush=True)
