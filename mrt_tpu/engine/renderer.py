@@ -153,6 +153,24 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
                               prime_primary=pp, prime_shadow=ps, step_hint=hint)
 
 
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
+def _trace_all_tiles_frame_donated(settings, statics, scene, bvh, geom, uniforms,
+                                   offsets, prev_motion, pp, ps, hint):
+    """Stage-2 tile-loop variant with the BVH DONATED through the program.
+
+    Alternative VMEM-placement mechanism to the in-program-intermediate
+    patch: donation lets XLA alias the table's input and output buffers, and
+    the standalone traversal microbench measured the donated pattern at
+    550 Mrays/s (docs/PERF.md round 2b) — the caller must adopt the RETURNED
+    bvh (the donated input handle is dead) and thread it into the next
+    frame."""
+    with jax.named_scope("trace"):
+        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
+                             offsets, prev_motion,
+                             prime_primary=pp, prime_shadow=ps, step_hint=hint)
+    return out, bvh
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _finish_frame(settings, uniforms, color, motion, prev_motion, prev_accum):
     """Staged-path stage 3: temporal accumulation."""
@@ -305,6 +323,11 @@ class Renderer:
         # rewrite the table into an in-program intermediate in the staged
         # trace program so MSA can pin it in VMEM (docs/PERF.md round 2b)
         self.vmem_table = True
+        # alternative placement mechanism: DONATE the bvh through the trace
+        # program (input/output buffer aliasing) instead of the intermediate
+        # patch; the standalone donated pattern measured 550 Mrays/s
+        # (docs/PERF.md round 2b). Only takes effect with tile_program_loop.
+        self.table_donate = False
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -648,11 +671,23 @@ class Renderer:
         if self.tile_program_loop:
             # all tiles in ONE program: one launch/frame instead of n_tiles
             # (each launch costs ~60-70 ms wall on the axon tunnel)
-            out = _trace_all_tiles_frame(
-                settings, statics, scene2, bvh2, geom, uniforms,
-                self.offsets, self.motion, self.prime_primary,
-                self.prime_shadow, self.step_hint, patch,
-            )
+            if self.table_donate:
+                out, bvh2 = _trace_all_tiles_frame_donated(
+                    settings, statics, scene2, bvh2, geom, uniforms,
+                    self.offsets, self.motion, self.prime_primary,
+                    self.prime_shadow, self.step_hint,
+                )
+                # the donated input handle is dead — adopt the returned bvh
+                # (same values, aliased buffers) for the next clean frame
+                object.__setattr__(self, "_prepare_cache",
+                                   ((settings, statics), leaves,
+                                    (scene2, geom, bvh2)))
+            else:
+                out = _trace_all_tiles_frame(
+                    settings, statics, scene2, bvh2, geom, uniforms,
+                    self.offsets, self.motion, self.prime_primary,
+                    self.prime_shadow, self.step_hint, patch,
+                )
             rays_total = jnp.sum(out.rays_traced.astype(jnp.int64))
             gbuffer = None
             if settings.enable_gbuffer:
