@@ -257,3 +257,39 @@ def test_pallas_packet_kernel_interpret_matches_brute_force():
     m = np.asarray(want.triangle >= 0) & ml
     np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-5)
     assert (np.asarray(got.triangle)[~ml] == -1).all()
+
+
+def test_packed_child_sort_contract():
+    """_sort_children_packed must (a) return the same VALID-child set as the
+    float carry-meta network, (b) order children by quantized-t-then-id
+    (the packed key drops t's low 20 bits by design), and (c) report the
+    same n_push counts."""
+    from mrt_tpu.bvh import wide
+
+    rng = np.random.default_rng(5)
+    R, A = 257, wide.ARITY
+    t = jnp.asarray(np.where(rng.random((R, A)) < 0.3, np.inf,
+                             rng.uniform(0, 1e3, (R, A)).astype(np.float32)))
+    # unique ids per row (duplicate ids would make the expected-order map
+    # ambiguous), ~20% empty slots
+    meta_np = np.stack([rng.choice(5000, A, replace=False) for _ in range(R)])
+    meta_np[rng.random((R, A)) < 0.2] = -1
+    meta = jnp.asarray(meta_np, jnp.int32)
+    t = jnp.where(meta < 0, jnp.inf, t)
+
+    cands, valid = wide._sort_children_packed(t, meta)
+    cols_t, cols_m = wide._sort_children(t, meta)
+    ref_m = np.stack([np.asarray(c) for c in cols_m], axis=1)
+    ref_valid = np.isfinite(np.stack([np.asarray(c) for c in cols_t], axis=1))
+
+    got_m, got_valid = np.asarray(cands), np.asarray(valid)
+    assert (got_valid == ref_valid).all()  # same n_push everywhere
+    for r in range(R):
+        g = got_m[r][got_valid[r]]
+        f = ref_m[r][ref_valid[r]]
+        assert set(g.tolist()) == set(f.tolist())  # same child set
+        # packed order: quantized t major, id minor
+        tq = (np.asarray(t[r]).view(np.int32) >> 20).astype(np.int64)
+        by_id = {int(m): tq[k] for k, m in enumerate(np.asarray(meta[r])) if m >= 0}
+        keys = [(by_id[int(m)], int(m)) for m in g]
+        assert keys == sorted(keys)
