@@ -73,6 +73,42 @@ def _stack_size(depth: int) -> int:
     cannot silently truncate (advisor round-1 medium)."""
     return int(min(max(1 + depth * (ARITY - 1), 16), 160))
 
+
+def exact_stack_bound(kids_of, root: int = 0) -> int:
+    """EXACT adversarial-order worst-case traversal stack occupancy for a
+    built topology (host-side, O(nodes)).
+
+    At a k-child node the runtime pushes all (hit) children and pops them
+    one at a time; while the i-th popped child's subtree is traversed the
+    stack still holds its k-1-i remaining siblings, so
+    f(node) = max_i (k-1-i + f(child)) maximized over pop orders — pair
+    the largest f with the earliest pop (sort f descending). Assumes every
+    child can be hit, so sizing the stack to 1+f(root) can NEVER truncate;
+    vs the depth*(ARITY-1) heuristic it measured 42 vs 57 on the app scene
+    (a 26% cut of per-step stack shift bandwidth for free).
+
+    ``kids_of(node) -> list[int]`` must yield traversal successors: wide
+    children for internal rows, [] for leaves, the BLAS root for two-level
+    instance rows."""
+    f: dict = {}
+    stack = [(root, False)]
+    while stack:
+        n, done = stack.pop()
+        kids = kids_of(n)
+        if not kids:
+            f[n] = 0
+            continue
+        if not done:
+            stack.append((n, True))
+            for c in kids:
+                if c not in f:
+                    stack.append((c, False))
+        else:
+            fs = sorted((f[c] for c in kids), reverse=True)
+            k = len(fs)
+            f[n] = max((k - 1 - i) + fs[i] for i in range(k))
+    return 1 + f[root]
+
 _EMPTY = -1  # empty child slot
 
 # Integer ids are stored in the f32 table via bitcast. Small ints are DENORMAL
@@ -95,12 +131,16 @@ class WideBVH:
     """Pytree with static (aux) n_internal/depth so jitted code can branch on
     them (they define trace structure, not data)."""
 
-    def __init__(self, table, node_child, leaf_tri, n_internal: int, depth: int):
+    def __init__(self, table, node_child, leaf_tri, n_internal: int, depth: int,
+                 stack_bound: int | None = None):
         self.table = table  # (N, ROW) f32 unified gather table
         self.node_child = node_child  # (Ni, ARITY) int32 entry ids, -1 = empty
         self.leaf_tri = leaf_tri  # (Nl, LEAF_K) int32 original tri ids, -1 = pad
         self.n_internal = int(n_internal)
         self.depth = int(depth)
+        # exact per-tree worst-case stack occupancy (see exact_stack_bound);
+        # None falls back to the depth heuristic
+        self.stack_bound = None if stack_bound is None else int(stack_bound)
 
     @property
     def n_rows(self) -> int:
@@ -113,12 +153,14 @@ class WideBVH:
             leaf_tri=self.leaf_tri,
             n_internal=self.n_internal,
             depth=self.depth,
+            stack_bound=self.stack_bound,
         )
         d.update(kw)
         return WideBVH(**d)
 
     def tree_flatten(self):
-        return (self.table, self.node_child, self.leaf_tri), (self.n_internal, self.depth)
+        return (self.table, self.node_child, self.leaf_tri), (
+            self.n_internal, self.depth, self.stack_bound)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -344,12 +386,17 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, method: str = "auto") 
         bl, br, _, order, _ = lbvh.build_topology(centroids)
         child, leaf, depth = build_topology_wide(bl, br, order)
     n_rows = child.shape[0] + leaf.shape[0]
+    n_i = int(child.shape[0])
+    bound = exact_stack_bound(
+        lambda n: [int(c) for c in child[n] if c >= 0] if n < n_i else []
+    ) if n_i else 1
     wbvh = WideBVH(
         table=jnp.zeros((n_rows, ROW), jnp.float32),
         node_child=jnp.asarray(child),
         leaf_tri=jnp.asarray(leaf),
-        n_internal=int(child.shape[0]),
+        n_internal=n_i,
         depth=depth,
+        stack_bound=bound,
     )
     # jit: eager per-op dispatch of the refit graph is seconds of host overhead
     return jax.jit(refit)(wbvh, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2))
@@ -740,7 +787,7 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
     dx, dy, dz = rays.direction[:, 0:1], rays.direction[:, 1:2], rays.direction[:, 2:3]
 
-    S = _stack_size(wbvh.depth)
+    S = wbvh.stack_bound or _stack_size(wbvh.depth)
     sp0 = jnp.ones((n_rays,), jnp.int32)
     if mask is not None:
         sp0 = jnp.where(mask, sp0, 0)
@@ -929,7 +976,7 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
         ],
         axis=1,
     )
-    S = _stack_size(wbvh.depth)
+    S = wbvh.stack_bound or _stack_size(wbvh.depth)
     state = dict(
         ray_id=ids0,
         o=o0, d=d0,
