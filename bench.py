@@ -58,6 +58,8 @@ def build_renderer(width, height, dragon_subdivisions=None):
         r.workload_sort = os.environ["MRT_WORKSORT"] == "1"
     if os.environ.get("MRT_DONATE"):
         r.table_donate = os.environ["MRT_DONATE"] == "1"
+    if os.environ.get("MRT_VMEMSHADE"):
+        r.vmem_shade_tables = os.environ["MRT_VMEMSHADE"] == "1"
     if os.environ.get("MRT_FUSE"):
         r.fuse_shadow_rays = os.environ["MRT_FUSE"] == "1"
     return r

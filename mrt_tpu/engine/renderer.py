@@ -132,9 +132,26 @@ def _trace_tile_frame(settings, statics, scene, bvh, geom, uniforms,
                              step_hint=hint)
 
 
+def _patch_geom_rows(geom, geom_patch):
+    """Rewrite the shade/motion tables into in-program INTERMEDIATES (same
+    mechanism as the BVH table_patch): without this, XLA re-stages the full
+    shade table into VMEM as 4 async slices EVERY BOUNCE to serve the
+    per-hit gathers (341 ms of DMA per 3-frame capture, 45%-busy engines —
+    docs/PERF.md round 2i); an MSA-placed intermediate is staged once per
+    program."""
+    if geom_patch is None:
+        return geom
+    s_head, m_head = geom_patch
+    return geom._replace(
+        shade_rows=geom.shade_rows.at[: s_head.shape[0]].set(s_head),
+        motion_rows=geom.motion_rows.at[: m_head.shape[0]].set(m_head),
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
-                           offsets, prev_motion, pp, ps, hint, table_patch=None):
+                           offsets, prev_motion, pp, ps, hint, table_patch=None,
+                           geom_patch=None):
     """Staged-path stage 2 (tile-loop variant): trace EVERY tile inside ONE
     program (``trace_block``'s lax.map over fixed-size tiles), with the same
     in-program table-intermediate trick as ``_trace_tile_frame``.
@@ -147,6 +164,7 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
     program lost."""
     if table_patch is not None and hasattr(bvh, "table"):
         bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
+    geom = _patch_geom_rows(geom, geom_patch)
     with jax.named_scope("trace"):
         return wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
                               offsets, prev_motion,
@@ -155,7 +173,8 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
 def _trace_all_tiles_frame_donated(settings, statics, scene, bvh, geom, uniforms,
-                                   offsets, prev_motion, pp, ps, hint):
+                                   offsets, prev_motion, pp, ps, hint,
+                                   geom_patch=None):
     """Stage-2 tile-loop variant with the BVH DONATED through the program.
 
     Alternative VMEM-placement mechanism to the in-program-intermediate
@@ -164,6 +183,7 @@ def _trace_all_tiles_frame_donated(settings, statics, scene, bvh, geom, uniforms
     550 Mrays/s (docs/PERF.md round 2b) — the caller must adopt the RETURNED
     bvh (the donated input handle is dead) and thread it into the next
     frame."""
+    geom = _patch_geom_rows(geom, geom_patch)
     with jax.named_scope("trace"):
         out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
                              offsets, prev_motion,
@@ -328,6 +348,9 @@ class Renderer:
         # patch; the standalone donated pattern measured 550 Mrays/s
         # (docs/PERF.md round 2b). Only takes effect with tile_program_loop.
         self.table_donate = False
+        # pin the shade/motion tables in VMEM the same way (None = auto by
+        # total table bytes; see _patch_geom_rows)
+        self.vmem_shade_tables = None
 
         # camera state (Renderer.swift orbit params; seeded from the scene)
         self.view_mode = VIEW_MODE_WORLD
@@ -397,6 +420,11 @@ class Renderer:
     # batch costs the table its VMEM placement (capability-probe seam, the
     # analog of the reference's Metal4-vs-legacy probe, Renderer.swift:299).
     FUSE_AUTO_MAX_BVH_BYTES = 24 << 20
+
+    # Auto threshold for pinning the shade+motion tables in VMEM alongside
+    # the BVH table (combined bytes; v5e VMEM is 128 MB and the tile/lane
+    # state needs headroom).
+    VMEM_TABLES_AUTO_MAX_BYTES = 64 << 20
 
     def _resolve_fuse(self) -> bool:
         if self.fuse_shadow_rays is not None:
@@ -668,6 +696,16 @@ class Renderer:
         if self.vmem_table and hasattr(bvh2, "table"):
             patch = bvh2.table[:8]
 
+        # same trick for the per-triangle shade/motion tables (auto by total
+        # resident bytes — oversubscribing VMEM would evict the BVH table,
+        # the costlier placement; see _patch_geom_rows)
+        gpatch = None
+        if self.vmem_shade_tables is not False and hasattr(bvh2, "table"):
+            total = (bvh2.table.size + geom.shade_rows.size
+                     + geom.motion_rows.size) * 4
+            if self.vmem_shade_tables or total <= self.VMEM_TABLES_AUTO_MAX_BYTES:
+                gpatch = (geom.shade_rows[:1], geom.motion_rows[:1])
+
         if self.tile_program_loop:
             # all tiles in ONE program: one launch/frame instead of n_tiles
             # (each launch costs ~60-70 ms wall on the axon tunnel)
@@ -675,7 +713,7 @@ class Renderer:
                 out, bvh2 = _trace_all_tiles_frame_donated(
                     settings, statics, scene2, bvh2, geom, uniforms,
                     self.offsets, self.motion, self.prime_primary,
-                    self.prime_shadow, self.step_hint,
+                    self.prime_shadow, self.step_hint, gpatch,
                 )
                 # the donated input handle is dead — adopt the returned bvh
                 # (same values, aliased buffers) for the next clean frame
@@ -686,7 +724,7 @@ class Renderer:
                 out = _trace_all_tiles_frame(
                     settings, statics, scene2, bvh2, geom, uniforms,
                     self.offsets, self.motion, self.prime_primary,
-                    self.prime_shadow, self.step_hint, patch,
+                    self.prime_shadow, self.step_hint, patch, gpatch,
                 )
             rays_total = jnp.sum(out.rays_traced.astype(jnp.int64))
             gbuffer = None
