@@ -530,25 +530,17 @@ def _slab_world(row, wo, wd, t_cap):
 
 def _step2(bvh: TwoLevelBVH, t_min, st):
     """One two-level traversal step over a lane-state dict (shared by the
-    chunked and streaming wrappers).
-
-    Two stack conventions, chosen STATICALLY by the caller's state shape:
-    with an ``sp`` counter (streaming wrapper, which retires/refills lanes
-    by sp), or SENTINEL-tracked (chunked wrapper: a lane is live while
-    stack slot 0 >= 0 — drops sp's three per-step update ops from the
-    while body)."""
-    has_sp = "sp" in st
-    active = (st["sp"] > 0) if has_sp else (
-        (st["stack"][:, 0] >= 0) & ~(st["found"] & st["shadow"]))
+    chunked and streaming wrappers)."""
+    active = st["sp"] > 0
     if "pops" in st:
         # per-lane useful-step counter: feeds the workload-predictive sort
         # (next call sorts lanes by expected work so chunk trip counts
         # approach the mean instead of the max — docs/PERF.md round 2g)
         st["pops"] = st["pops"] + active.astype(jnp.int32)
+    sp = st["sp"]
     top, stack0 = _stack_pop(st["stack"], active)
     entry = jnp.where(active, top, 0)
-    if has_sp:
-        sp = jnp.where(active, st["sp"] - 1, st["sp"])
+    sp = jnp.where(active, sp - 1, sp)
 
     row = jnp.take(bvh.table, entry, axis=0)
     inst_base = bvh.n_internal + bvh.n_leaf
@@ -599,8 +591,7 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
     st["best_u"] = jnp.where(take, cand_u, st["best_u"])
     st["best_v"] = jnp.where(take, cand_v, st["best_v"])
     st["found"] = st["found"] | (lane_leaf & cand_any)
-    if has_sp:
-        sp = jnp.where(st["found"] & st["shadow"], 0, sp)
+    sp = jnp.where(st["found"] & st["shadow"], 0, sp)
 
     # --- internal rows: ARITY child slab tests + ordered push ----------
     a_hit, a_t = _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap[:, None])
@@ -619,8 +610,7 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
         jnp.where(inst_hit, 1, 0),
     )
     st["stack"] = _stack_push_sorted(stack0, cands, n_push)
-    if has_sp:
-        st["sp"] = jnp.minimum(sp + n_push, st["stack"].shape[1])
+    st["sp"] = jnp.minimum(sp + n_push, st["stack"].shape[1])
     return st
 
 
@@ -807,13 +797,12 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
 
     def run_flat(o, d, lv, sh, ini):
         w = o.shape[0]
-        # SENTINEL stack (no sp counter, see _step2): slot 0 holds the root
-        # for live lanes and -1 for masked / pre-retired ones
-        top0 = jnp.where(lv & ~(ini["found"] & sh), 0, -1).astype(jnp.int32)
+        sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
         st = dict(
             wo=o, wd=d, o=o, d=d,
             cur_inst=jnp.full((w,), -1, jnp.int32),
-            stack=jnp.full((w, S), -1, jnp.int32).at[:, 0].set(top0),
+            stack=jnp.zeros((w, S), jnp.int32),
+            sp=sp0,
             best_t=ini["best_t"], best_tri=ini["best_tri"],
             best_u=ini["best_u"], best_v=ini["best_v"],
             found=ini["found"], best_inst=ini["best_inst"],
@@ -825,15 +814,14 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
             return _step2(bvh, t_min, s)
 
         def stepped(s):
-            # empty-stack lanes make _step2 a no-op, so checking the
-            # cross-lane condition only every ``unroll`` steps is exact
+            # sp==0 lanes make _step2 a no-op, so checking the cross-lane
+            # condition only every ``unroll`` steps is exact
             for _ in range(unroll):
                 s = one(s)
             return s
 
         st = jax.lax.while_loop(
-            lambda s: jnp.any((s["stack"][:, 0] >= 0)
-                              & ~(s["found"] & s["shadow"])), stepped, st,
+            lambda s: jnp.any(s["sp"] > 0), stepped, st,
         )
         keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
         if count_pops:

@@ -509,12 +509,9 @@ def _stack_pop(stack, active):
     """Top-at-slot-0 stack: read the top, shift live lanes left by one.
     Full-array rolls/selects vectorize on the VPU — the previous per-slot
     one-hot select chain compiled to a ~330k-cycle scalar kLoop fusion per
-    step (see docs/PERF.md round 2). Shifts in the -1 EMPTY sentinel so a
-    sentinel-tracked stack (no sp counter, chunked paths) stays well-formed;
-    sp-tracked callers never read the fill value."""
+    step (see docs/PERF.md round 2)."""
     top = stack[:, 0]
-    popped = jnp.concatenate(
-        [stack[:, 1:], jnp.full_like(stack[:, :1], _EMPTY)], axis=1)
+    popped = jnp.concatenate([stack[:, 1:], jnp.zeros_like(stack[:, :1])], axis=1)
     return top, jnp.where(active[:, None], popped, stack)
 
 
@@ -791,16 +788,13 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     dx, dy, dz = rays.direction[:, 0:1], rays.direction[:, 1:2], rays.direction[:, 2:3]
 
     S = wbvh.stack_bound or _stack_size(wbvh.depth)
-    # SENTINEL stack, no sp counter: empty slots hold -1 and a lane is live
-    # exactly while slot 0 is a real entry (>= 0). Drops the sp array from
-    # the while carry and its three per-step update ops (part of the
-    # 233-op/step band, docs/PERF.md round 2i).
-    top0 = jnp.zeros((n_rays,), jnp.int32)  # root id 0 pre-pushed
+    sp0 = jnp.ones((n_rays,), jnp.int32)
     if mask is not None:
-        top0 = jnp.where(mask, 0, _EMPTY)
+        sp0 = jnp.where(mask, sp0, 0)
 
     state = dict(
-        stack=jnp.full((n_rays, S), _EMPTY, jnp.int32).at[:, 0].set(top0),
+        stack=jnp.zeros((n_rays, S), jnp.int32),  # root id 0 pre-pushed (top at slot 0)
+        sp=sp0,
         best_t=jnp.asarray(rays.max_distance, jnp.float32),
         best_tri=jnp.full((n_rays,), -1, jnp.int32),
         best_u=jnp.zeros((n_rays,), jnp.float32),
@@ -811,8 +805,7 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         # primed best-hit seed (see _prime_hits); any-hit lanes whose
         # candidate already occludes skip traversal entirely
         state.update(init)
-        state["stack"] = state["stack"].at[:, 0].set(
-            jnp.where(init["found"] & shadow, _EMPTY, top0))
+        state["sp"] = jnp.where(init["found"] & shadow, 0, state["sp"])
     if profile:
         state["pops"] = jnp.zeros((n_rays,), jnp.int32)
         state["iters"] = jnp.zeros((n_rays,), jnp.int32)
@@ -820,13 +813,15 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         state["pops"] = jnp.zeros((n_rays,), jnp.int32)
 
     def cond(st):
-        live = (st["stack"][:, 0] >= 0) & ~(st["found"] & shadow)
+        live = (st["sp"] > 0) & ~(st["found"] & shadow)
         return jnp.any(live)
 
     def body(st):
-        active = (st["stack"][:, 0] >= 0) & ~(st["found"] & shadow)
+        sp = st["sp"]
+        active = (sp > 0) & ~(st["found"] & shadow)
         top, stack = _stack_pop(st["stack"], active)
         entry = jnp.where(active, top, 0)
+        sp = jnp.where(active, sp - 1, sp)
         if profile:
             st["pops"] = st["pops"] + active.astype(jnp.int32)
             st["iters"] = st["iters"] + 1
@@ -865,13 +860,17 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
 
         lane_int = active & ~is_leaf
         n_push = jnp.where(lane_int, jnp.sum(valid.astype(jnp.int32), axis=1), 0)
-        st["stack"] = _stack_push_sorted(stack, cands, n_push)
+        stack = _stack_push_sorted(stack, cands, n_push)
+        sp = jnp.minimum(sp + n_push, S)
+
+        st["stack"] = stack
+        st["sp"] = sp
         return st
 
     if unroll > 1:
         # check the (cross-lane reduce + scalar sync) condition every
-        # ``unroll`` steps: a step with an empty stack everywhere is a pure
-        # no-op, so up to unroll-1 wasted steps trade against halved/quartered
+        # ``unroll`` steps: a step with sp==0 everywhere is a pure no-op, so
+        # up to unroll-1 wasted steps trade against halved/quartered
         # per-step loop overhead.
         one = body
 
