@@ -33,9 +33,6 @@ PRIMES = np.array(
 )
 
 _PRIMES_J = jnp.asarray(PRIMES)
-# first two bases [2, 3] as a (2,) row — callers batch the camera-jitter
-# dims through one radical-inverse digit loop instead of two
-PRIMES_J2 = jnp.asarray(PRIMES[:2])
 
 # i < 2^20 (random offset) + frame budget; 32 base-2 digits covers any int32.
 _MAX_DIGITS = 32

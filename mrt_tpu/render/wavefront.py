@@ -291,10 +291,8 @@ def trace_tile(
         """Per-lane camera ray for sample index ``sidx`` ((P,) int32) —
         Halton AA jitter (Raytracing.metal:272-291)."""
         hidx0 = offsets + base + sidx
-        # both jitter dims in one batched radical-inverse digit loop
-        # (bases 2 and 3 = primes[0:2]; 32 digits for base-2 exactness)
-        rxy = H.halton_base(hidx0[:, None], H.PRIMES_J2)
-        rx, ry = rxy[:, 0], rxy[:, 1]
+        rx = H.halton(hidx0, jnp.zeros((), jnp.int32))
+        ry = H.halton(hidx0, jnp.ones((), jnp.int32))
         sample_pix_x = pixel_x.astype(f32) + rx
         sample_pix_y = pixel_y.astype(f32) + ry
         u = sample_pix_x / width_f * 2.0 - 1.0
@@ -708,25 +706,9 @@ def trace_tile(
             _qmc_step0 = st["step"]
             _qmc_cur, _qmc_nxt = H.step_bases_pair(_qmc_step0)
 
-            # All six per-bounce QMC dimensions in ONE batched radical-inverse
-            # digit loop: the six separate calls compiled to 12 skinny [P]
-            # ops x 14 digits each (~10% of the frame, round-2h xplane
-            # x6650 band). transparency always samples at the ENTRY step;
-            # the other five see the post-glass step, and the glass mask
-            # (== "step advanced this iteration") is computable up front.
-            _glass_adv = jnp.zeros((P,), bool)
-            if statics.has_refraction:
-                _glass_adv = hit & (
-                    (jnp.clip(opacity, 0.0, 1.0) < 0.999)
-                    | (jnp.maximum(matrow[:, 10], 1.0) > 1.01)
-                )
-            _qmc_names = ("light_pick", "area_a", "area_b", "bounce_x", "bounce_y")
-            _qmc_B = jnp.stack(
-                [_qmc_cur["transparency"]]
-                + [jnp.where(_glass_adv, _qmc_nxt[n], _qmc_cur[n]) for n in _qmc_names],
-                axis=-1,
-            )  # (P, 6)
-            _qmc_U = H.halton_base(hidx[:, None], _qmc_B, H.STEP_MAX_DIGITS)
+            def _qmc_base(name):
+                adv = st["step"] > _qmc_step0  # glass lanes advanced by one
+                return jnp.where(adv, _qmc_nxt[name], _qmc_cur[name])
 
             skip_lighting = jnp.zeros((P,), bool)
             consume_bounce = jnp.ones((P,), bool)
@@ -753,7 +735,8 @@ def trace_tile(
                 total_w = jnp.maximum(reflect_w + refract_w, 1e-4)
                 reflect_prob = reflect_w / total_w
 
-                choice = _qmc_U[:, 0]  # transparency dim, entry-step base
+                choice = H.halton_base(hidx, _qmc_cur["transparency"],
+                                       H.STEP_MAX_DIGITS)
                 do_reflect = (k < 0.0) | (choice < reflect_prob)
 
                 reflect_dir = S.normalize(I - 2.0 * S.dot3(I, N)[:, None] * N)
@@ -793,7 +776,8 @@ def trace_tile(
 
             # --- pick 1 of N lights (Raytracing.metal:587-647) ---------------
             n_lights = statics.n_lights
-            light_sample = _qmc_U[:, 1]
+            light_sample = H.halton_base(hidx, _qmc_base("light_pick"),
+                                         H.STEP_MAX_DIGITS)
             if settings.light_sampling == "power" and n_lights > 1:
                 # power-proportional pick (beyond-reference): pmf ~ luminance
                 # x (area for area lights); 1/pmf compensation keeps the
@@ -817,7 +801,9 @@ def trace_tile(
                     (light_sample * n_lights).astype(jnp.int32), n_lights - 1
                 )
                 light_weight = f32(n_lights)  # 1-of-N compensation, :647
-            u_area = _qmc_U[:, 2:4]
+            u_area = jnp.stack(
+                [H.halton_base(hidx, _qmc_base("area_a"), H.STEP_MAX_DIGITS),
+                 H.halton_base(hidx, _qmc_base("area_b"), H.STEP_MAX_DIGITS)], -1)
             l_dir, l_col, l_dist = S.evaluate_light(scene.lights, light_index, u_area, world_point)
             l_col = l_col * light_weight
 
@@ -989,7 +975,9 @@ def trace_tile(
                 lit = lit & ~dead
 
             # --- cosine-hemisphere bounce (Raytracing.metal:755-774) ---------
-            u_b = _qmc_U[:, 4:6]
+            u_b = jnp.stack(
+                [H.halton_base(hidx, _qmc_base("bounce_x"), H.STEP_MAX_DIGITS),
+                 H.halton_base(hidx, _qmc_base("bounce_y"), H.STEP_MAX_DIGITS)], -1)
             local_dir = S.sample_cosine_hemisphere(u_b)
             bounce_dir = S.align_hemisphere_with_normal(local_dir, shading_nrm)
             st["ray_o"] = jnp.where(lit[:, None], world_point + nrm * 1e-3, st["ray_o"])
