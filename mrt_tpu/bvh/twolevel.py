@@ -47,6 +47,7 @@ from .wide import (
     _mt_leaf,
     _sorted_candidates,
     _sort_keys_generic,
+    _stack_alloc,
     _stack_pop,
     _stack_push_sorted,
     _stack_size,
@@ -684,8 +685,8 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
         axis=1,
     )
     # stack bound covers the TLAS chain + one instance hop + the deepest BLAS
-    S = bvh.stack_bound or _stack_size(
-        bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
+    S = _stack_alloc(bvh.stack_bound,
+                     bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
     state = dict(
         ray_id=ids0,
         wo=wo0, wd=wd0, o=wo0, d=wd0,
@@ -792,8 +793,8 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
             found=jnp.zeros((n_rays,), bool),
             best_inst=jnp.full((n_rays,), -1, jnp.int32),
         )
-    S = bvh.stack_bound or _stack_size(
-        bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
+    S = _stack_alloc(bvh.stack_bound,
+                     bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
 
     def run_flat(o, d, lv, sh, ini):
         w = o.shape[0]

@@ -74,6 +74,16 @@ def _stack_size(depth: int) -> int:
     return int(min(max(1 + depth * (ARITY - 1), 16), 160))
 
 
+def _stack_alloc(bound, depth: int) -> int:
+    """Runtime stack WIDTH for a tree: the exact per-tree bound when the
+    builder recorded one (else the depth heuristic), clamped to >= ARITY
+    because _stack_push_sorted's shift window is ARITY candidates wide —
+    a narrower stack changes the concat result width and breaks the
+    while_loop carry (seen as int32[n,1] vs int32[n,ARITY] on degenerate
+    single-instance-chain TLAS graphs whose exact bound is 1)."""
+    return max(int(bound) if bound else _stack_size(depth), ARITY)
+
+
 def exact_stack_bound(kids_of, root: int = 0) -> int:
     """EXACT adversarial-order worst-case traversal stack occupancy for a
     built topology (host-side, O(nodes)).
@@ -787,7 +797,7 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
     ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
     dx, dy, dz = rays.direction[:, 0:1], rays.direction[:, 1:2], rays.direction[:, 2:3]
 
-    S = wbvh.stack_bound or _stack_size(wbvh.depth)
+    S = _stack_alloc(wbvh.stack_bound, wbvh.depth)
     sp0 = jnp.ones((n_rays,), jnp.int32)
     if mask is not None:
         sp0 = jnp.where(mask, sp0, 0)
@@ -976,7 +986,7 @@ def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
         ],
         axis=1,
     )
-    S = wbvh.stack_bound or _stack_size(wbvh.depth)
+    S = _stack_alloc(wbvh.stack_bound, wbvh.depth)
     state = dict(
         ray_id=ids0,
         o=o0, d=d0,

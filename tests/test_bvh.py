@@ -293,3 +293,20 @@ def test_packed_child_sort_contract():
         by_id = {int(m): tq[k] for k, m in enumerate(np.asarray(meta[r])) if m >= 0}
         keys = [(by_id[int(m)], int(m)) for m in g]
         assert keys == sorted(keys)
+
+
+def test_stack_alloc_clamps_degenerate_bounds():
+    """Stacks narrower than ARITY break _stack_push_sorted's concat width
+    (while_loop carry mismatch, int32[n,1] vs int32[n,ARITY]) — degenerate
+    TLAS chains (one instance, leaf-only BLAS) compute an exact bound of 1,
+    so allocation must clamp to ARITY."""
+    from mrt_tpu.bvh import wide
+
+    assert wide._stack_alloc(1, 3) == wide.ARITY
+    assert wide._stack_alloc(None, 0) >= wide.ARITY
+    assert wide._stack_alloc(57, 3) == 57
+
+    # a pure chain graph (TLAS root -> instance -> BLAS leaf) has exact
+    # bound 1 — the case that produced width-1 stacks before the clamp
+    chain = {0: [1], 1: [2], 2: []}
+    assert wide.exact_stack_bound(lambda n: chain[n]) == 1
