@@ -72,14 +72,20 @@ def run(width, height, frames, dragon_subdivisions=None):
     # warmup/compile
     r.draw()
     jax.block_until_ready(r.accum)
-    total_rays = 0
+    # The timed region performs ZERO device->host transfers: one readback
+    # permanently poisons axon dispatch ~300x (docs/PERF.md round 2j).
+    # Ray counters stay device scalars; they are read AFTER the clock stops.
+    ray_counts = []
     t0 = time.time()
     for _ in range(frames):
         r.draw()
-        total_rays += int(r.last_rays_traced)
+        ray_counts.append(r.last_rays_traced)
     jax.block_until_ready(r.accum)
     dt = time.time() - t0
-    return total_rays, dt
+    # Return the DEVICE counters: even a post-clock readback here would
+    # poison any later run() in this process (the dragon_1m sub-benchmark).
+    # The caller reads them back once ALL timed work is done.
+    return ray_counts, dt
 
 
 def main():
@@ -88,7 +94,7 @@ def main():
         width, height, frames = 512, 512, 2
     fallback_reason = None
     try:
-        total_rays, dt = run(width, height, frames)
+        ray_counts, dt = run(width, height, frames)
     except Exception as e:
         # Fall back to a smaller frame so the driver still gets a number —
         # but LOUDLY: a top-level "fallback" field + stderr traceback, so a
@@ -98,24 +104,30 @@ def main():
         traceback.print_exc()
         fallback_reason = f"{type(e).__name__}: {e}"[:200]
         width, height, frames = 512, 512, 2
-        total_rays, dt = run(width, height, frames)
-    mrays = total_rays / dt / 1e6
+        ray_counts, dt = run(width, height, frames)
 
     # real-dragon-scale sub-benchmark (~1.31M-tri blob, Stanford-dragon
     # class): reported alongside the headline so table-size effects at
     # production asset scale are visible (VERDICT round-1 missing #6)
     dragon_1m = None
+    big_counts = big_dt = None
     if "--quick" not in sys.argv and os.environ.get("MRT_SKIP_BIG") != "1":
         try:
-            big_rays, big_dt = run(1024, 576, 2, dragon_subdivisions=8)
-            dragon_1m = {
-                "mrays_per_s": round(big_rays / big_dt / 1e6, 3),
-                "resolution": "1024x576",
-                "scene_tris": "~1.33M (dragon 1.31M)",
-                "frames": 2,
-            }
+            big_counts, big_dt = run(1024, 576, 2, dragon_subdivisions=8)
         except Exception as e:
             dragon_1m = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ALL timed work is done — device->host readbacks are safe now (one
+    # D2H poisons every later dispatch ~300x, docs/PERF.md round 2j)
+    total_rays = sum(int(c) for c in ray_counts)
+    mrays = total_rays / dt / 1e6
+    if big_counts is not None:
+        dragon_1m = {
+            "mrays_per_s": round(sum(int(c) for c in big_counts) / big_dt / 1e6, 3),
+            "resolution": "1024x576",
+            "scene_tris": "~1.33M (dragon 1.31M)",
+            "frames": 2,
+        }
 
     out = {
         "metric": "Mrays/s",

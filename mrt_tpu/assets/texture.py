@@ -227,6 +227,11 @@ class AtlasBuilder:
                 for li in range(MAX_MIPS):
                     mip_rects[r, map_type, li] = chain[min(li, len(chain) - 1)]
         packed, packed_rects = self._build_packed(texels, rects, has)
+        # host mirror for callers that need has_map host-side: reading the
+        # device copy back would be a device->host transfer, and ONE such
+        # transfer permanently degrades every later dispatch ~300x on the
+        # axon TPU runtime (docs/PERF.md round 2j)
+        self.has_np = has
         return TextureAtlas(
             texels=jnp.asarray(texels), rects=jnp.asarray(rects),
             has_map=jnp.asarray(has), mip_rects=jnp.asarray(mip_rects),

@@ -180,16 +180,23 @@ def _mesh_topology(obj_tris: np.ndarray):
     return build_topology_wide(bl, br, order)
 
 
-def build(models, scene_data, skin_slices=()) -> TwoLevelBVH:
+def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
     """Host-side build over a compiled scene.
 
     models: host Model list (mesh identity defines sharing).
     scene_data: compiled SceneData (vertex/tri pools give v_starts + tri
     bases). skin_slices: statics.skin_slices — skinned instances get
     exclusive BLAS groups (their pose refits every frame).
+    host_mirror: Scene.compile's numpy mirrors; without it this falls back
+    to reading the device arrays back, which permanently poisons axon
+    dispatch ~300x (docs/PERF.md round 2j) — fine for CPU tests only.
     """
-    vertex_instance = np.asarray(scene_data.vertex_instance)
-    tri_instance = np.asarray(scene_data.tri_instance)
+    if host_mirror is not None:
+        vertex_instance = host_mirror["vertex_instance"]
+        tri_instance = host_mirror["tri_instance"]
+    else:
+        vertex_instance = np.asarray(scene_data.vertex_instance)
+        tri_instance = np.asarray(scene_data.tri_instance)
     n_inst = len(models)
     skinned_insts = {s[0] for s in skin_slices}
 

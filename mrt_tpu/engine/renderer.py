@@ -251,12 +251,16 @@ class FrameStats:
         self.frames = 0
         self._last = None
         self._pending_rays = None
+        self._deferred = []
         self.total_rays = 0
 
     def record(self, rays_traced):
         now = self._time.perf_counter()
+        # defer the int() readback to report(): ONE device->host transfer
+        # permanently poisons axon dispatch ~300x (docs/PERF.md round 2j),
+        # so the frame loop must never read device scalars back
         if self._pending_rays is not None:
-            self.total_rays += int(self._pending_rays)
+            self._deferred.append(self._pending_rays)
         self._pending_rays = rays_traced
         if self._last is not None:
             dt_ms = (now - self._last) * 1e3
@@ -266,8 +270,11 @@ class FrameStats:
 
     def report(self) -> dict:
         if self._pending_rays is not None:
-            self.total_rays += int(self._pending_rays)
+            self._deferred.append(self._pending_rays)
             self._pending_rays = None
+        if self._deferred:
+            self.total_rays += int(sum(int(x) for x in self._deferred))
+            self._deferred.clear()
         fps = 1000.0 / self.frame_ms if self.frame_ms else 0.0
         mrays = (self.total_rays / max(self.frames - 1, 1)) * fps / 1e6 if fps else 0.0
         return dict(
@@ -497,19 +504,28 @@ class Renderer:
         the jitted step every frame; call this again after large moves
         (rebuild fallback, Renderer.swift:1141-1167)."""
         scene = self.scene_data
-        transforms = np.asarray(scene.instance_transform)
-        pos = np.asarray(scene.positions_obj)
-        vinst = np.asarray(scene.vertex_instance)
+        # host mirrors from Scene.compile — np.asarray on the SceneData
+        # device arrays would be device->host readbacks, and ONE readback
+        # permanently poisons axon dispatch ~300x (docs/PERF.md round 2j)
+        host = getattr(self.scene, "host_mirror", None)
+        if host is not None:
+            transforms, pos = host["transforms"], host["positions"]
+            vinst, idx = host["vertex_instance"], host["indices"]
+        else:  # dist/test wrappers that hand-build SceneData
+            transforms = np.asarray(scene.instance_transform)
+            pos = np.asarray(scene.positions_obj)
+            vinst = np.asarray(scene.vertex_instance)
+            idx = np.asarray(scene.indices)
         M = transforms[vinst]
         pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
-        idx = np.asarray(scene.indices)
         if self.traversal_backend == "cluster":
             self.bvh = cl.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
         elif self.two_level and self.traversal_backend == "wide":
             from ..bvh import twolevel
 
             self.bvh = twolevel.build(
-                self.scene.models, self.scene_data, self.statics.skin_slices
+                self.scene.models, self.scene_data, self.statics.skin_slices,
+                host_mirror=host,
             )
         else:
             self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])

@@ -390,7 +390,10 @@ class Scene:
             v_base += mesh.positions.shape[0]
 
         atlas = atlas_builder.build()
-        has_np = np.asarray(atlas.has_map)
+        # host mirror from the builder — np.asarray(atlas.has_map) would be
+        # a device->host readback, which permanently poisons axon dispatch
+        # (docs/PERF.md round 2j: one D2H => ~300x slower programs forever)
+        has_np = atlas_builder.has_np
 
         n_res = len(mats)
         materials = T.Materials(
@@ -416,16 +419,28 @@ class Scene:
         )
 
         transforms = self.instance_transforms()
-        pos_cat = jnp.asarray(np.concatenate(positions))
+        pos_np = np.concatenate(positions)
+        idx_np = np.concatenate(indices)
+        vinst_np = np.concatenate(vert_inst)
+        tinst_np = np.concatenate(tri_inst)
+        # host mirrors of everything the HOST-side BVH builders index —
+        # reading the device copies back (np.asarray on SceneData fields)
+        # is a device->host transfer, and one D2H permanently poisons axon
+        # dispatch ~300x (docs/PERF.md round 2j)
+        self.host_mirror = dict(
+            positions=pos_np, indices=idx_np, vertex_instance=vinst_np,
+            tri_instance=tinst_np, transforms=np.asarray(transforms),
+        )
+        pos_cat = jnp.asarray(pos_np)
         data = SceneData(
             positions_obj=pos_cat,
             prev_positions_obj=pos_cat,
             normals_obj=jnp.asarray(np.concatenate(normals)),
             uvs=jnp.asarray(np.concatenate(uvs)),
-            vertex_instance=jnp.asarray(np.concatenate(vert_inst)),
-            indices=jnp.asarray(np.concatenate(indices)),
+            vertex_instance=jnp.asarray(vinst_np),
+            indices=jnp.asarray(idx_np),
             tri_resource=jnp.asarray(np.concatenate(tri_res)),
-            tri_instance=jnp.asarray(np.concatenate(tri_inst)),
+            tri_instance=jnp.asarray(tinst_np),
             instance_transform=jnp.asarray(transforms),
             prev_instance_transform=jnp.asarray(transforms),
             materials=materials,

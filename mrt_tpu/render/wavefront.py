@@ -29,6 +29,7 @@ Faithfully ported semantics (each cited):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -1130,6 +1131,39 @@ def trace_tile(
             total_samples = jnp.where(is0, base_samples + extra, total_samples)
         return (sample_index + 1, total_color, total_samples, had0, depth0, motion0,
                 g0, rays_total, pp, ps, hint)
+
+    # TEMPORARY round-2j poison bisect: truncate the program at a stage
+    # (fresh subprocess per stage; see scripts/bisect_history25.py)
+    _bisect = os.environ.get("MRT_BISECT_STAGE")
+    if _bisect:
+        def _stub_outputs(color, rays):
+            z1 = jnp.zeros((P,), f32)
+            return TileOutputs(
+                color=color, depth=jnp.full((P,), 1.0e8, f32),
+                motion=jnp.zeros((P, 2), f32), diffuse_albedo=zero3,
+                specular_albedo=zero3, normal=zero3, roughness=z1,
+                rays_traced=rays.astype(jnp.int32),
+                prime_primary=jnp.asarray(prime_primary, jnp.int32),
+                prime_shadow=jnp.asarray(prime_shadow, jnp.int32),
+                step_hint=jnp.asarray(step_hint, jnp.int32),
+            )
+
+        if _bisect == "camrays":
+            ro_b, rd_b = camera_rays(jnp.zeros((P,), jnp.int32))
+            return _stub_outputs(rd_b * 0.5 + 0.5, jnp.zeros((P,), jnp.int32))
+        st0 = init_state(jnp.zeros((P,), jnp.int32), prime_primary,
+                         prime_shadow, jnp.zeros((P,), bool),
+                         jnp.zeros((P, 2), f32))
+        if _bisect == "body1":
+            st = body(st0)
+        elif _bisect == "bodyloop":
+            st = jax.lax.while_loop(cond, body, st0)
+        elif _bisect == "bodyloop_proj":
+            st = jax.lax.while_loop(cond, body, st0)
+            st = project_primary(st)
+        else:
+            raise ValueError(f"unknown MRT_BISECT_STAGE {_bisect}")
+        return _stub_outputs(st["accumulated"], st["rays"])
 
     P3 = jnp.zeros((P, 3), jnp.float32)
     carry0 = (

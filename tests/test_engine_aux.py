@@ -153,9 +153,11 @@ def test_bench_schema():
 
     r = bench.build_renderer(32, 32)
     assert r.samples_per_pixel == 2 and r.max_bounces == 4
-    # the run helper returns (total_rays, seconds)
-    total, dt = bench.run(32, 32, 1)
-    assert total > 0 and dt > 0
+    # the run helper returns (per-frame DEVICE ray counters, seconds); the
+    # caller sums/reads them back only after ALL timed work is done (one
+    # D2H readback poisons axon dispatch ~300x, docs/PERF.md round 2j)
+    counts, dt = bench.run(32, 32, 1)
+    assert sum(int(c) for c in counts) > 0 and dt > 0
 
 
 def test_graft_entry_single_chip():
