@@ -112,10 +112,11 @@ def main():
         offs = jnp.zeros((tile,), jnp.int32)
         pmot = jnp.zeros((tile, 2), jnp.float32)
         pp = jnp.full((tile,), -1, jnp.int32)
+        hint = jnp.zeros((tile,), jnp.int32)
         patch = None if "--nopatch" in sys.argv else bvh2.table[:8]
         comp = _trace_tile_frame.lower(
             settings, r.statics, scene2, bvh2, geom, uniforms,
-            px, py, offs, pmot, pp, pp, patch).compile()
+            px, py, offs, pmot, pp, pp, hint, patch).compile()
         summarize(comp.as_text(), "staged trace_tile 512x512")
         return
     comp = _render_frame.lower(

@@ -1,0 +1,93 @@
+"""Round 2j step 2: WHICH part of Renderer construction poisons the device?
+
+bisect_history.py: the same traversal executable runs 250 Mrays/s fresh,
+0.9 Mrays/s after Renderer(appscene) — a 280x uniform per-op slowdown.
+This splits the ctor into its device-touching stages.
+
+Run detached: nohup python scripts/bisect_history2.py > /tmp/history2.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrt_tpu.bvh import wide
+from mrt_tpu.core import types as T
+
+n_tris = 100_000
+rng = np.random.default_rng(0)
+c = rng.uniform(0, 1, (n_tris, 3)).astype(np.float32)
+e = 0.6 / np.sqrt(n_tris)
+v1 = c + rng.normal(size=(n_tris, 3)).astype(np.float32) * e
+v2 = c + rng.normal(size=(n_tris, 3)).astype(np.float32) * e
+bvh = wide.build(c, v1, v2)
+
+N = 32768
+rng = np.random.default_rng(1)
+o = rng.uniform(0, 1, (N, 3)).astype(np.float32); o[:, 2] = -1.0
+d = rng.normal(0, 0.05, (N, 3)).astype(np.float32); d[:, 2] = 1.0
+d /= np.linalg.norm(d, axis=1, keepdims=True)
+ro, rd = jnp.asarray(o), jnp.asarray(d)
+rm = jnp.full((N,), np.inf, jnp.float32)
+mask = jnp.ones((N,), bool)
+
+
+def f(table, patch, ro, rd, rm, msk):
+    b = wide.WideBVH(table.at[:8].set(patch), bvh.node_child, bvh.leaf_tri,
+                     bvh.n_internal, bvh.depth)
+    return wide._traverse(b, T.Rays(ro, rd, rm), 1e-4, False, msk,
+                          chunks=16, sort_rays=True, profile=False, unroll=2)
+
+
+fn = jax.jit(f)
+args = (bvh.table, bvh.table[:8], ro, rd, rm, mask)
+
+
+def timeit(label):
+    st = fn(*args); jax.block_until_ready(st)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); st = fn(*args); jax.block_until_ready(st)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps(dict(phase=label, us=round(best * 1e6, 1),
+                          mrays_s=round(N / best / 1e6, 1))), flush=True)
+
+
+timeit("fresh")
+
+from mrt_tpu.engine.appscene import make_app_scene
+scene = make_app_scene(width=128, height=128, include_robot=False)
+timeit("after_make_app_scene")
+
+scene_data, statics = scene.compile()
+timeit("after_scene_compile")
+
+hbm_used = sum(x.nbytes for x in jax.live_arrays())
+print(json.dumps(dict(live_array_bytes=hbm_used)), flush=True)
+
+# mimic Renderer._build_bvh without the Renderer
+from mrt_tpu.engine import renderer as R
+
+
+class Shim:
+    pass
+
+
+sh = Shim()
+sh.scene_data = scene_data
+sh.statics = statics
+sh.traversal_backend = T.RenderSettings.traversal_backend
+sh.two_level = T.RenderSettings.two_level
+sh.scene = scene
+R.Renderer._build_bvh(sh)
+timeit("after_build_bvh")
+
+print(json.dumps(dict(live_array_bytes=sum(
+    x.nbytes for x in jax.live_arrays()))), flush=True)
