@@ -164,6 +164,27 @@ elif case == "bigsmall":
     np.asarray(jnp.zeros((3,), f32))   # Trigger A: known reliable poison
     timeit("poisoned_32k")
     timeit("poisoned_1m", fn1m)
+# --- cassette-speculator cache hypothesis -----------------------------
+# If the axon frontend caches/speculates repeated identical dispatches
+# (cassette/speculator.rs strings in libaxon_pjrt.so), a timing loop
+# re-dispatching the SAME (executable, args) measures the cache, not the
+# device. Discriminator: vary one ray origin per call in the FRESH state.
+elif case == "argvary":
+    fn, a, N = fn32k
+    import time as _t
+    variants = []
+    for k in range(6):
+        o2 = a[2].at[0, 0].set(0.001 * k)
+        variants.append((a[0], a[1], o2) + a[3:])
+    jax.block_until_ready(fn(*variants[0]))
+    for rep in range(2):
+        for k, va in enumerate(variants):
+            t0 = _t.perf_counter(); st = fn(*va); jax.block_until_ready(st)
+            dt = _t.perf_counter() - t0
+            print(json.dumps(dict(case=case, phase=f"vary_r{rep}_{k}",
+                                  us=round(dt * 1e6, 1),
+                                  mrays_s=round(N / dt / 1e6, 1))), flush=True)
+    timeit("same_args_after")
 else:
     raise SystemExit(f"unknown case {case}")
 
@@ -174,7 +195,7 @@ DEFAULT = [
     "conv_i2f", "conv_i2f_c", "conv_f2i", "conv_b2f", "conv_i2f_nored",
     "closure_dev3", "arg3",
     "cammath_full", "cammath_noconv", "cammath_noconst", "cammath_nonorm",
-    "bigsmall",
+    "bigsmall", "argvary",
 ]
 
 

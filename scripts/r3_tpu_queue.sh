@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU experiment queue — run once when the axon tunnel is up.
+# Everything uses the 512x512 quick bench (fast compiles) except the
+# final flagship confirmations. Honest regime: bench.py performs no D2H
+# in the timed loop, and the first trace dispatch deactivates the axon
+# speculator anyway, so frame timings are real device time +- ~33 ms
+# dispatch RTT per frame.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/r3_queue.log
+say() { echo "=== $* ($(date +%H:%M:%S))" | tee -a "$LOG"; }
+qb() { # name, env...
+  local name=$1; shift
+  say "quick $name [$*]"
+  env "$@" timeout 2400 python bench.py --quick 2>>"$LOG" | tail -1 \
+    | sed "s/^/{\"exp\": \"$name\"} /" | tee -a "$LOG"
+}
+
+say "baseline"
+qb base
+say "stream retry (occupancy ~1: pays mean steps, not per-chunk max)"
+qb stream16k MRT_STREAM=16384
+qb stream16k_r4 MRT_STREAM=16384 MRT_REFILL=4
+qb stream8k MRT_STREAM=8192
+say "donation"
+qb donate MRT_DONATE=1
+say "fuse on/off"
+qb fuse0 MRT_FUSE=0
+say "tree shape re-sweep"
+qb a12k8 MRT_ARITY=12 MRT_LEAF_K=8
+qb a16k12 MRT_ARITY=16 MRT_LEAF_K=12
+qb a8k8 MRT_ARITY=8 MRT_LEAF_K=8
+say "unroll"
+qb unroll2 MRT_UNROLL=2
+qb unroll6 MRT_UNROLL=6
+say "chunks"
+qb chunks4 MRT_CHUNKS=4
+qb chunks16 MRT_CHUNKS=16
+say "tile size"
+qb tile32k MRT_TILE=32768
+qb tile131k MRT_TILE=131072
+say "queue done"
