@@ -586,8 +586,16 @@ def trace_tile(
 
                 def tex_sample(map_type):
                     if not _packed_memo:
-                        _packed_memo.append(
-                            tex.sample_packed(scene.atlas, res, tex_coord))
+                        if (settings.geometry_axis
+                                and scene.atlas.band_lo is not None):
+                            # gp-banded atlas: local taps + one psum
+                            # (dist/geometry.band_atlas)
+                            _packed_memo.append(tex.sample_packed_banded(
+                                scene.atlas, res, tex_coord,
+                                settings.geometry_axis))
+                        else:
+                            _packed_memo.append(
+                                tex.sample_packed(scene.atlas, res, tex_coord))
                     return tex.packed_map(_packed_memo[0], map_type)
 
             # --- material + textures (Raytracing.metal:399-456) --------------
