@@ -63,7 +63,11 @@ CHUNK_UNROLL = _os.environ.get("MRT_CHUNK_UNROLL", "0") == "1"
 #   leaf:     [v0x*K|v0y*K|v0z*K|v1x*K|...|v2z*K|tri_id*K] = 10K
 _INT_USED = 7 * ARITY
 _LEAF_USED = 10 * LEAF_K
-ROW = 128
+# Row width is env-overridable for the bytes-vs-rows gather question
+# (docs/PERF.md round 3): if the in-frame gather is BYTES-bound, ROW=64
+# with ARITY=8/LEAF_K=6 halves gathered bytes per step; if it is
+# per-ROW-issue-bound, width is free and 128 packs more tree per gather.
+ROW = int(_os.environ.get("MRT_ROW", "128"))
 assert max(_INT_USED, _LEAF_USED) <= ROW
 META_OFF = 6 * ARITY
 IDS_OFF = 9 * LEAF_K

@@ -40,3 +40,8 @@ say "tile size"
 qb tile32k MRT_TILE=32768
 qb tile131k MRT_TILE=131072
 say "queue done"
+
+say "row width (bytes-vs-rows discriminator at e2e level)"
+qb row64 MRT_ROW=64 MRT_ARITY=8 MRT_LEAF_K=6
+qb row64_k12leaf MRT_ROW=128 MRT_ARITY=8 MRT_LEAF_K=6
+say "row-width sweep done"
