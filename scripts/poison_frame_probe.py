@@ -87,3 +87,16 @@ for i in range(1, 5):
           flush=True)
 
 timeit("traversal_after_draws")
+
+# Does ASYNC dispatch pipeline under the honest (speculator-off) regime?
+# 10 enqueued draws + one block: ~10x RTT means serialized dispatch;
+# ~RTT + 10x device time means the runtime pipelines and interactive
+# frame rates survive the poison.
+t0 = time.perf_counter()
+for _ in range(10):
+    r.draw()
+jax.block_until_ready(r.accum)
+dt = time.perf_counter() - t0
+print(json.dumps(dict(phase="draw10_pipelined",
+                      total_ms=round(dt * 1e3, 2),
+                      per_frame_ms=round(dt * 1e2, 2))), flush=True)
