@@ -45,3 +45,7 @@ say "row width (bytes-vs-rows discriminator at e2e level)"
 qb row64 MRT_ROW=64 MRT_ARITY=8 MRT_LEAF_K=6
 qb row64_k12leaf MRT_ROW=128 MRT_ARITY=8 MRT_LEAF_K=6
 say "row-width sweep done"
+
+say "staged-config suite (small)"
+timeout 3600 python scripts/bench_suite.py --small 2>>"$LOG" | tee -a "$LOG"
+say "suite done"
