@@ -57,6 +57,17 @@ LEAF_K = int(_os.environ.get("MRT_LEAF_K", "12"))
 # dynamic-update-slice machinery, which measured ~as expensive as the
 # traversal stepping itself (docs/PERF.md round 2d).
 CHUNK_UNROLL = _os.environ.get("MRT_CHUNK_UNROLL", "0") == "1"
+# Transposed traversal state: (ARITY, R)/(LEAF_K, R)/(S, R) instead of
+# (R, ARITY)/(R, LEAF_K)/(R, S). XLA:TPU maps the MINOR dim to the 128
+# vector lanes, so the row-major layout runs the child sort network, box
+# tests, MT tests, and stack shifts at ARITY/128 ~= 6% lane utilization —
+# the round-2i xplane profile's "tiny column fusion" band (~17% of the
+# frame). Transposed, rays fill the lanes and children/stack live in
+# sublanes; one (R, ROW) -> (ROW, R) relayout per step buys full-width
+# VPU ops and contiguous row slices for the sort comparators. Same
+# expression graph; results match to ~1 ULP (XLA forms FMAs differently
+# per layout), with identical hit triangles/found flags.
+TRANSPOSED = _os.environ.get("MRT_TRANSPOSED", "0") == "1"
 # Row layout (gather cost is per ROW on TPU, nearly independent of width, so
 # wider rows buy more tree per gather):
 #   internal: [bminx*A|bminy*A|bminz*A|bmaxx*A|bmaxy*A|bmaxz*A|meta*A] = 7A
@@ -549,14 +560,87 @@ def _stack_push_sorted(stack, cands, n_push):
     return jnp.concatenate([head, shifted[:, C:]], axis=1)
 
 
-def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap, K: int = LEAF_K):
+# ---- transposed-layout twins (TRANSPOSED=1): stack (S, R), children ----
+# (ARITY, R) — rays in the 128 vector lanes, slots in sublanes, so every
+# shift/select/comparator runs at full lane width instead of ARITY/128.
+
+def _stack_pop_t(stack, active):
+    """_stack_pop on a (S, R) stack: top is row 0, shift rows up."""
+    top = stack[0]
+    popped = jnp.concatenate([stack[1:], jnp.zeros_like(stack[:1])], axis=0)
+    return top, jnp.where(active[None, :], popped, stack)
+
+
+def _stack_push_sorted_t(stack, cands, n_push):
+    """_stack_push_sorted on a (S, R) stack with (C, R) candidates."""
+    S = stack.shape[0]
+    C = cands.shape[0]
+    shifted = stack
+    b = 1
+    while b <= C:
+        moved = jnp.concatenate(
+            [jnp.zeros_like(shifted[:b]), shifted[: S - b]], axis=0
+        )
+        shifted = jnp.where(((n_push & b) != 0)[None, :], moved, shifted)
+        b <<= 1
+    lane = jnp.arange(C, dtype=jnp.int32)[:, None]
+    head = jnp.where(lane < n_push[None, :], cands, shifted[:C])
+    return jnp.concatenate([head, shifted[C:]], axis=0)
+
+
+def _sorted_candidates_t(tA, meta, n_rows: int):
+    """_sorted_candidates on (ARITY, R) inputs; returns (A, R) pairs. The
+    comparator operands are contiguous ROW slices here (the row-major
+    version extracts strided columns per comparator)."""
+    if n_rows <= _META_MASK:
+        valid = jnp.isfinite(tA) & (meta >= 0)
+        tbits = jax.lax.bitcast_convert_type(tA, jnp.int32)
+        key = ((tbits >> _META_BITS) << _META_BITS) | (meta & _META_MASK)
+        key = jnp.where(valid, key, _KEY_MAX)
+        cols = [key[k] for k in range(ARITY)] + [
+            jnp.full_like(key[0], _KEY_MAX) for _ in range(_SORT_N - ARITY)
+        ]
+        for a, b in _SORT_PAIRS:
+            lo = jnp.minimum(cols[a], cols[b])
+            hi = jnp.maximum(cols[a], cols[b])
+            cols[a], cols[b] = lo, hi
+        keys = jnp.stack(cols[:ARITY], axis=0)
+        return keys & _META_MASK, keys != _KEY_MAX
+    cols_t = [tA[k] for k in range(ARITY)] + [
+        jnp.full_like(tA[0], jnp.inf) for _ in range(_SORT_N - ARITY)
+    ]
+    cols_m = [meta[k] for k in range(ARITY)] + [
+        jnp.full_like(meta[0], -1) for _ in range(_SORT_N - ARITY)
+    ]
+    for a, b in _SORT_PAIRS:
+        swap = cols_t[a] > cols_t[b]
+        ta = jnp.where(swap, cols_t[b], cols_t[a])
+        tb = jnp.where(swap, cols_t[a], cols_t[b])
+        ma = jnp.where(swap, cols_m[b], cols_m[a])
+        mb = jnp.where(swap, cols_m[a], cols_m[b])
+        cols_t[a], cols_t[b] = ta, tb
+        cols_m[a], cols_m[b] = ma, mb
+    cands = jnp.stack(cols_m[:ARITY], axis=0)
+    valid = jnp.stack([jnp.isfinite(c) for c in cols_t[:ARITY]], axis=0)
+    return cands, valid
+
+
+def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap, K: int = LEAF_K,
+             T: bool = False):
     """K-wide Möller–Trumbore on a gathered leaf row. Component-wise on
     (R, K) arrays (no reshapes — keeps everything in 2D vector registers).
     K=1 serves the candidate-priming test with the IDENTICAL expression
-    graph, so primed and unprimed results stay bit-equal."""
-    v0x, v0y, v0z = row[:, 0:K], row[:, K:2*K], row[:, 2*K:3*K]
-    v1x, v1y, v1z = row[:, 3*K:4*K], row[:, 4*K:5*K], row[:, 5*K:6*K]
-    v2x, v2y, v2z = row[:, 6*K:7*K], row[:, 7*K:8*K], row[:, 8*K:9*K]
+    graph, so primed and unprimed results stay bit-equal.
+    ``T``: transposed layout — row is (ROW, R), per-ray terms (1, R),
+    results (K, R); the arithmetic is the same expression graph."""
+    if T:
+        v0x, v0y, v0z = row[0:K], row[K:2*K], row[2*K:3*K]
+        v1x, v1y, v1z = row[3*K:4*K], row[4*K:5*K], row[5*K:6*K]
+        v2x, v2y, v2z = row[6*K:7*K], row[7*K:8*K], row[8*K:9*K]
+    else:
+        v0x, v0y, v0z = row[:, 0:K], row[:, K:2*K], row[:, 2*K:3*K]
+        v1x, v1y, v1z = row[:, 3*K:4*K], row[:, 4*K:5*K], row[:, 5*K:6*K]
+        v2x, v2y, v2z = row[:, 6*K:7*K], row[:, 7*K:8*K], row[:, 8*K:9*K]
     e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
     e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
     # p = d x e2
@@ -578,11 +662,16 @@ def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap, K: int = LEAF_K):
     return hit, t, u, v
 
 
-def _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap):
-    """ARITY child slab tests on a gathered internal row. Returns (hit, t)."""
+def _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap, T: bool = False):
+    """ARITY child slab tests on a gathered internal row. Returns (hit, t).
+    ``T``: transposed layout — row (ROW, R), per-ray terms (1, R)."""
     A = ARITY
-    bminx, bminy, bminz = row[:, 0:A], row[:, A:2*A], row[:, 2*A:3*A]
-    bmaxx, bmaxy, bmaxz = row[:, 3*A:4*A], row[:, 4*A:5*A], row[:, 5*A:6*A]
+    if T:
+        bminx, bminy, bminz = row[0:A], row[A:2*A], row[2*A:3*A]
+        bmaxx, bmaxy, bmaxz = row[3*A:4*A], row[4*A:5*A], row[5*A:6*A]
+    else:
+        bminx, bminy, bminz = row[:, 0:A], row[:, A:2*A], row[:, 2*A:3*A]
+        bmaxx, bmaxy, bmaxz = row[:, 3*A:4*A], row[:, 4*A:5*A], row[:, 5*A:6*A]
     t0x = (bminx - ox) * ix
     t1x = (bmaxx - ox) * ix
     t0y = (bminy - oy) * iy
@@ -791,6 +880,15 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
 
 def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
                    init=None, unroll: int = 1, count_pops: bool = False):
+    if TRANSPOSED:
+        return _traverse_flat_t(wbvh, rays, t_min, mask, shadow, profile,
+                                init, unroll=unroll, count_pops=count_pops)
+    return _traverse_flat_rows(wbvh, rays, t_min, mask, shadow, profile,
+                               init, unroll=unroll, count_pops=count_pops)
+
+
+def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
+                        init=None, unroll: int = 1, count_pops: bool = False):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -886,6 +984,125 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
         # ``unroll`` steps: a step with sp==0 everywhere is a pure no-op, so
         # up to unroll-1 wasted steps trade against halved/quartered
         # per-step loop overhead.
+        one = body
+
+        def body(s, _one=one):
+            for _ in range(unroll):
+                s = _one(s)
+            return s
+
+    st = jax.lax.while_loop(cond, body, state)
+    keys = ("best_t", "best_tri", "best_u", "best_v", "found")
+    if profile:
+        keys = keys + ("pops", "iters")
+    elif count_pops:
+        keys = keys + ("pops",)
+    return {k: st[k] for k in keys}
+
+
+def _traverse_flat_t(wbvh: WideBVH, rays: Rays, t_min, mask, shadow,
+                     profile: bool = False, init=None, unroll: int = 1,
+                     count_pops: bool = False):
+    """Transposed-layout twin of _traverse_flat_rows (see TRANSPOSED above):
+    stack (S, R), child/leaf arrays (ARITY/LEAF_K, R), per-ray terms (1, R).
+    One (R, ROW) -> (ROW, R) relayout after the row gather buys full-lane-
+    width VPU ops for the whole step. Same expression graph; hit ids and
+    found flags match the row layout exactly, t/u/v to ~1 ULP (layout-
+    dependent FMA formation)."""
+    n_rays = rays.origin.shape[0]
+    n_i = wbvh.n_internal
+    table = wbvh.table
+
+    ox, oy, oz = (rays.origin[:, 0][None, :], rays.origin[:, 1][None, :],
+                  rays.origin[:, 2][None, :])
+    inv = 1.0 / jnp.where(jnp.abs(rays.direction) < 1e-12,
+                          jnp.where(rays.direction < 0, -1e-12, 1e-12), rays.direction)
+    ix, iy, iz = inv[:, 0][None, :], inv[:, 1][None, :], inv[:, 2][None, :]
+    dx, dy, dz = (rays.direction[:, 0][None, :], rays.direction[:, 1][None, :],
+                  rays.direction[:, 2][None, :])
+
+    S = _stack_alloc(wbvh.stack_bound, wbvh.depth)
+    sp0 = jnp.ones((n_rays,), jnp.int32)
+    if mask is not None:
+        sp0 = jnp.where(mask, sp0, 0)
+
+    state = dict(
+        stack=jnp.zeros((S, n_rays), jnp.int32),  # root id 0 pre-pushed (top at row 0)
+        sp=sp0,
+        best_t=jnp.asarray(rays.max_distance, jnp.float32),
+        best_tri=jnp.full((n_rays,), -1, jnp.int32),
+        best_u=jnp.zeros((n_rays,), jnp.float32),
+        best_v=jnp.zeros((n_rays,), jnp.float32),
+        found=jnp.zeros((n_rays,), bool),
+    )
+    if init is not None:
+        state.update(init)
+        state["sp"] = jnp.where(init["found"] & shadow, 0, state["sp"])
+    if profile:
+        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
+        state["iters"] = jnp.zeros((n_rays,), jnp.int32)
+    elif count_pops:
+        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
+
+    def cond(st):
+        live = (st["sp"] > 0) & ~(st["found"] & shadow)
+        return jnp.any(live)
+
+    def body(st):
+        sp = st["sp"]
+        active = (sp > 0) & ~(st["found"] & shadow)
+        top, stack = _stack_pop_t(st["stack"], active)
+        entry = jnp.where(active, top, 0)
+        sp = jnp.where(active, sp - 1, sp)
+        if profile:
+            st["pops"] = st["pops"] + active.astype(jnp.int32)
+            st["iters"] = st["iters"] + 1
+        elif count_pops:
+            st["pops"] = st["pops"] + active.astype(jnp.int32)
+
+        row = jnp.take(table, entry, axis=0)  # (R, ROW) THE gather
+        rowT = row.T  # one relayout; every op below runs at full lane width
+        is_leaf = entry >= n_i
+
+        t_cap = st["best_t"]
+
+        # ---- leaf: LEAF_K-wide MT ----------------------------------------
+        l_hit, l_t, l_u, l_v = _mt_leaf(rowT, ox, oy, oz, dx, dy, dz, t_min,
+                                        t_cap[None, :], T=True)
+        lane_leaf = active & is_leaf
+        l_t_m = jnp.where(l_hit, l_t, jnp.inf)
+        jbest = jnp.argmin(l_t_m, axis=0)
+        oh4 = jnp.arange(LEAF_K, dtype=jnp.int32)[:, None] == jbest[None, :]
+        cand_t = jnp.sum(jnp.where(oh4, l_t_m, 0.0), axis=0)
+        cand_any = jnp.any(l_hit, axis=0)
+        ids4 = _decode_ids(rowT[IDS_OFF : IDS_OFF + LEAF_K])
+        cand_tri = jnp.sum(jnp.where(oh4, ids4, 0), axis=0)
+        cand_u = jnp.sum(jnp.where(oh4, l_u, 0.0), axis=0)
+        cand_v = jnp.sum(jnp.where(oh4, l_v, 0.0), axis=0)
+        take = lane_leaf & cand_any & (cand_t < st["best_t"])
+        st["best_t"] = jnp.where(take, cand_t, st["best_t"])
+        st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
+        st["best_u"] = jnp.where(take, cand_u, st["best_u"])
+        st["best_v"] = jnp.where(take, cand_v, st["best_v"])
+        st["found"] = st["found"] | (lane_leaf & cand_any)
+
+        # ---- internal: ARITY AABBs, sort, push nearest-first --------------
+        a_hit, a_t = _aabb_children(rowT, ox, oy, oz, ix, iy, iz,
+                                    t_cap[None, :], T=True)
+        meta = _decode_ids(rowT[META_OFF : META_OFF + ARITY])
+        t8 = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
+        cands, valid = _sorted_candidates_t(t8, meta, wbvh.n_rows)
+
+        lane_int = active & ~is_leaf
+        n_push = jnp.where(lane_int, jnp.sum(valid.astype(jnp.int32), axis=0), 0)
+        stack = _stack_push_sorted_t(stack, cands, n_push)
+        sp = jnp.minimum(sp + n_push, S)
+
+        st["stack"] = stack
+        st["sp"] = sp
+        return st
+
+    if unroll > 1:
         one = body
 
         def body(s, _one=one):

@@ -49,3 +49,9 @@ say "row-width sweep done"
 say "staged-config suite (small)"
 timeout 3600 python scripts/bench_suite.py --small 2>>"$LOG" | tee -a "$LOG"
 say "suite done"
+
+say "transposed traversal state (full-lane-width VPU ops)"
+qb transposed MRT_TRANSPOSED=1
+qb transposed_u2 MRT_TRANSPOSED=1 MRT_UNROLL=2
+qb transposed_u6 MRT_TRANSPOSED=1 MRT_UNROLL=6
+say "transposed sweep done"
