@@ -51,7 +51,9 @@ timeout 3600 python scripts/bench_suite.py --small 2>>"$LOG" | tee -a "$LOG"
 say "suite done"
 
 say "transposed traversal state (full-lane-width VPU ops)"
+qb flat_base MRT_TWOLEVEL=0
+qb transposed_flat MRT_TRANSPOSED=1 MRT_TWOLEVEL=0
+qb transposed_flat_u2 MRT_TRANSPOSED=1 MRT_TWOLEVEL=0 MRT_UNROLL=2
 qb transposed MRT_TRANSPOSED=1
 qb transposed_u2 MRT_TRANSPOSED=1 MRT_UNROLL=2
-qb transposed_u6 MRT_TRANSPOSED=1 MRT_UNROLL=6
 say "transposed sweep done"
