@@ -41,15 +41,19 @@ from .wide import (
     LEAF_K,
     META_OFF,
     ROW,
+    TRANSPOSED,
     _aabb_children,
     _decode_ids,
     _encode_ids,
     _mt_leaf,
     _sorted_candidates,
+    _sorted_candidates_t,
     _sort_keys_generic,
     _stack_alloc,
     _stack_pop,
+    _stack_pop_t,
     _stack_push_sorted,
+    _stack_push_sorted_t,
     _stack_size,
     build_topology_wide,
     exact_stack_bound,
@@ -622,6 +626,112 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
     return st
 
 
+def _slab_world_t(rowT, wo, wd, t_cap):
+    """_slab_world on transposed operands: rowT (ROW, R), wo/wd (3, R)."""
+    inv = 1.0 / jnp.where(jnp.abs(wd) < 1e-12, jnp.where(wd < 0, -1e-12, 1e-12), wd)
+    bmin = rowT[_I_WBMIN : _I_WBMIN + 3]
+    bmax = rowT[_I_WBMAX : _I_WBMAX + 3]
+    t0 = (bmin - wo) * inv
+    t1 = (bmax - wo) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=0)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+    return (tn <= tf) & (tf >= 0.0) & (tn <= t_cap)
+
+
+def _minv_apply_t(minvT, p, is_dir: bool):
+    """_minv_apply on transposed operands: minvT (12, R), p (3, R)."""
+    x = jnp.sum(minvT[0:3] * p, axis=0)
+    y = jnp.sum(minvT[4:7] * p, axis=0)
+    z = jnp.sum(minvT[8:11] * p, axis=0)
+    if not is_dir:
+        x = x + minvT[3]
+        y = y + minvT[7]
+        z = z + minvT[11]
+    return jnp.stack([x, y, z], axis=0)
+
+
+def _step2_t(bvh: TwoLevelBVH, t_min, st):
+    """Transposed-layout twin of _step2 (see wide.TRANSPOSED): stack (S, R),
+    ray vectors (3, R), child/leaf arrays (ARITY/LEAF_K, R). Same expression
+    graph; hit ids/found match _step2 exactly, t/u/v to ~1 ULP."""
+    active = st["sp"] > 0
+    if "pops" in st:
+        st["pops"] = st["pops"] + active.astype(jnp.int32)
+    sp = st["sp"]
+    top, stack0 = _stack_pop_t(st["stack"], active)
+    entry = jnp.where(active, top, 0)
+    sp = jnp.where(active, sp - 1, sp)
+
+    row = jnp.take(bvh.table, entry, axis=0)
+    rowT = row.T  # one relayout; every op below runs at full lane width
+    inst_base = bvh.n_internal + bvh.n_leaf
+    is_inst = entry >= inst_base
+    is_leaf = (entry >= bvh.n_internal) & ~is_inst
+    is_tlas = entry < bvh.tlas_n
+    t_cap = st["best_t"]
+
+    # --- instance rows --------------------------------------------------
+    lane_inst = active & is_inst
+    inst_hit = _slab_world_t(rowT, st["wo"], st["wd"], t_cap) & lane_inst
+    new_o = _minv_apply_t(rowT[_I_MINV : _I_MINV + 12], st["wo"], is_dir=False)
+    new_d = _minv_apply_t(rowT[_I_MINV : _I_MINV + 12], st["wd"], is_dir=True)
+    st["o"] = jnp.where(inst_hit[None, :], new_o, st["o"])
+    st["d"] = jnp.where(inst_hit[None, :], new_d, st["d"])
+    st["cur_inst"] = jnp.where(inst_hit, _decode_ids(rowT[_I_ID]), st["cur_inst"])
+    blas_root = _decode_ids(rowT[_I_ROOT])
+
+    # --- current regs (BLAS rows) vs world regs (TLAS rows) -------------
+    o_sel = jnp.where(is_tlas[None, :], st["wo"], st["o"])
+    d_sel = jnp.where(is_tlas[None, :], st["wd"], st["d"])
+    ox, oy, oz = o_sel[0][None, :], o_sel[1][None, :], o_sel[2][None, :]
+    dx, dy, dz = d_sel[0][None, :], d_sel[1][None, :], d_sel[2][None, :]
+    inv = 1.0 / jnp.where(
+        jnp.abs(d_sel) < 1e-12, jnp.where(d_sel < 0, -1e-12, 1e-12), d_sel
+    )
+    ix, iy, iz = inv[0][None, :], inv[1][None, :], inv[2][None, :]
+
+    # --- leaf rows: LEAF_K-wide MT ---------------------------------------
+    l_hit, l_t, l_u, l_v = _mt_leaf(rowT, ox, oy, oz, dx, dy, dz, t_min,
+                                    t_cap[None, :], T=True)
+    lane_leaf = active & is_leaf
+    l_t_m = jnp.where(l_hit, l_t, jnp.inf)
+    jbest = jnp.argmin(l_t_m, axis=0)
+    ohK = jnp.arange(LEAF_K, dtype=jnp.int32)[:, None] == jbest[None, :]
+    cand_t = jnp.sum(jnp.where(ohK, l_t_m, 0.0), axis=0)
+    cand_any = jnp.any(l_hit, axis=0)
+    idsK = _decode_ids(rowT[IDS_OFF : IDS_OFF + LEAF_K])
+    cand_tri = jnp.sum(jnp.where(ohK, idsK, 0), axis=0)
+    cand_u = jnp.sum(jnp.where(ohK, l_u, 0.0), axis=0)
+    cand_v = jnp.sum(jnp.where(ohK, l_v, 0.0), axis=0)
+    take = lane_leaf & cand_any & (cand_t < st["best_t"])
+    st["best_t"] = jnp.where(take, cand_t, st["best_t"])
+    st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
+    st["best_inst"] = jnp.where(take, st["cur_inst"], st["best_inst"])
+    st["best_u"] = jnp.where(take, cand_u, st["best_u"])
+    st["best_v"] = jnp.where(take, cand_v, st["best_v"])
+    st["found"] = st["found"] | (lane_leaf & cand_any)
+    sp = jnp.where(st["found"] & st["shadow"], 0, sp)
+
+    # --- internal rows: ARITY child slab tests + ordered push ------------
+    a_hit, a_t = _aabb_children(rowT, ox, oy, oz, ix, iy, iz, t_cap[None, :],
+                                T=True)
+    meta = _decode_ids(rowT[META_OFF : META_OFF + ARITY])
+    tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
+    cands, valid = _sorted_candidates_t(tA, meta, bvh.table.shape[0])
+
+    lane_int = active & ~is_leaf & ~is_inst
+    lane_iota = jnp.arange(ARITY, dtype=jnp.int32)[:, None]
+    cands = jnp.where(
+        (inst_hit[None, :]) & (lane_iota == 0), blas_root[None, :], cands
+    )
+    n_push = jnp.where(
+        lane_int, jnp.sum(valid.astype(jnp.int32), axis=0),
+        jnp.where(inst_hit, 1, 0),
+    )
+    st["stack"] = _stack_push_sorted_t(stack0, cands, n_push)
+    st["sp"] = jnp.minimum(sp + n_push, st["stack"].shape[0])
+    return st
+
 
 def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                       window: int, refill_every: int, dead_last: bool):
@@ -806,20 +916,33 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     def run_flat(o, d, lv, sh, ini):
         w = o.shape[0]
         sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
-        st = dict(
-            wo=o, wd=d, o=o, d=d,
-            cur_inst=jnp.full((w,), -1, jnp.int32),
-            stack=jnp.zeros((w, S), jnp.int32),
-            sp=sp0,
-            best_t=ini["best_t"], best_tri=ini["best_tri"],
-            best_u=ini["best_u"], best_v=ini["best_v"],
-            found=ini["found"], best_inst=ini["best_inst"],
-            shadow=sh,
-        )
+        if TRANSPOSED:
+            oT, dT = o.T, d.T  # (3, w): rays in lanes (see wide.TRANSPOSED)
+            st = dict(
+                wo=oT, wd=dT, o=oT, d=dT,
+                cur_inst=jnp.full((w,), -1, jnp.int32),
+                stack=jnp.zeros((S, w), jnp.int32),
+                sp=sp0,
+                best_t=ini["best_t"], best_tri=ini["best_tri"],
+                best_u=ini["best_u"], best_v=ini["best_v"],
+                found=ini["found"], best_inst=ini["best_inst"],
+                shadow=sh,
+            )
+        else:
+            st = dict(
+                wo=o, wd=d, o=o, d=d,
+                cur_inst=jnp.full((w,), -1, jnp.int32),
+                stack=jnp.zeros((w, S), jnp.int32),
+                sp=sp0,
+                best_t=ini["best_t"], best_tri=ini["best_tri"],
+                best_u=ini["best_u"], best_v=ini["best_v"],
+                found=ini["found"], best_inst=ini["best_inst"],
+                shadow=sh,
+            )
         if count_pops:
             st["pops"] = jnp.zeros((w,), jnp.int32)
         def one(s):
-            return _step2(bvh, t_min, s)
+            return (_step2_t if TRANSPOSED else _step2)(bvh, t_min, s)
 
         def stepped(s):
             # sp==0 lanes make _step2 a no-op, so checking the cross-lane

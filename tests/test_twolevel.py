@@ -129,3 +129,35 @@ def test_two_level_priming_is_exact():
     np.testing.assert_array_equal(np.asarray(occ1), occ0)
     ot = np.asarray(occ_tri)
     assert (ot[occ0] >= 0).all() and (ot[~occ0] == -1).all()
+
+
+def test_transposed_twolevel_matches_row_layout(monkeypatch):
+    """The transposed two-level step (_step2_t) must find identical
+    hits/instances; t/u/v to ~1 ULP (layout-dependent FMA formation)."""
+    import jax.numpy as jnp
+
+    from mrt_tpu.bvh import twolevel
+    from mrt_tpu.core.types import Rays
+
+    scene = _scene()
+    data, statics = scene.compile()
+    bvh = twolevel.build(scene.models, data, statics.skin_slices)
+    rng = np.random.default_rng(5)
+    N = 2048
+    rays = _rays(N, rng)
+    mask = jnp.asarray(rng.random(N) > 0.1)
+    shadow = jnp.asarray(rng.random(N) > 0.5)
+
+    monkeypatch.setattr(twolevel, "TRANSPOSED", False)
+    a = twolevel._traverse_chunked2(bvh, rays, 1e-4, mask, shadow, None,
+                                    chunks=4, unroll=2)
+    monkeypatch.setattr(twolevel, "TRANSPOSED", True)
+    t = twolevel._traverse_chunked2(bvh, rays, 1e-4, mask, shadow, None,
+                                    chunks=4, unroll=2)
+    np.testing.assert_array_equal(np.asarray(a["best_tri"]),
+                                  np.asarray(t["best_tri"]))
+    np.testing.assert_array_equal(np.asarray(a["best_inst"]),
+                                  np.asarray(t["best_inst"]))
+    np.testing.assert_array_equal(np.asarray(a["found"]), np.asarray(t["found"]))
+    np.testing.assert_allclose(np.asarray(a["best_t"]), np.asarray(t["best_t"]),
+                               rtol=1e-5, atol=1e-6)
