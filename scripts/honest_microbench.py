@@ -120,6 +120,47 @@ def main():
     # chunk shape: flat 32k lanes in one chain (no lax.map)
     run_case("w128_flat", R, 128, "f32", chunk=N_LANES)
 
+    # ----- (P,3) vs (3,P) vs componentized (P,) elementwise chains ------
+    # The shading stage computes on (P,3) color/vector arrays; if XLA maps
+    # the minor dim (3) to the 128 vector lanes, every such op runs at
+    # ~2% lane utilization and the whole shade band is layout-bound.
+    P = 65536
+    x3 = jax.random.normal(jax.random.PRNGKey(2), (P, 3), jnp.float32)
+    x3t = x3.T
+    xc = [x3[:, 0], x3[:, 1], x3[:, 2]]
+
+    def chain_p3(v):
+        def step(i, a):
+            a = a * 1.0001 + 0.1
+            a = a / (1.0 + jnp.abs(a))
+            return a * v[0, 0] + a
+        return jax.lax.fori_loop(0, 400, step, v).sum()
+
+    def chain_comp(vs):
+        def step(i, abc):
+            out = []
+            for a in abc:
+                a = a * 1.0001 + 0.1
+                a = a / (1.0 + jnp.abs(a))
+                out.append(a * abc[0][0] + a)
+            return tuple(out)
+        r = jax.lax.fori_loop(0, 400, step, tuple(vs))
+        return sum(x.sum() for x in r)
+
+    for name, fn, args in (("vec3_rows", chain_p3, (x3,)),
+                           ("vec3_T", chain_p3, (x3t,)),
+                           ("vec3_comp", chain_comp, (xc,))):
+        g = jax.jit(fn)
+        jax.block_until_ready(g(*args))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(*args))
+            best = min(best, time.perf_counter() - t0)
+        ns_el = best / (400 * P * 3) * 1e9
+        print(json.dumps(dict(case=name, ms=round(best * 1e3, 2),
+                              ns_per_elem_step=round(ns_el, 4))), flush=True)
+
 
 if __name__ == "__main__":
     main()
