@@ -12,11 +12,27 @@ FramePresenter.swift:381-403).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 _LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+# à-trous backend: the Pallas kernel (kernels/atrous.py) DMAs each row
+# tile's halo into VMEM once and computes all 25 taps resident — one HBM
+# read per plane per pass vs the XLA formulation's 25 shifted windows.
+# auto = Pallas on TPU, XLA elsewhere (interpret-mode Pallas is test-only).
+_ATROUS_IMPL = os.environ.get("MRT_ATROUS", "auto")  # auto | pallas | xla
+
+
+def _use_pallas_atrous() -> bool:
+    if _ATROUS_IMPL == "pallas":
+        return True
+    if _ATROUS_IMPL == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 class DenoiseState(NamedTuple):
@@ -148,10 +164,17 @@ def svgf_filter(
     # --- variance-guided à-trous wavelet filtering ---------------------------
     filtered = demod_i
     fvar = var
-    flum = filtered @ _LUMA
-    for i in range(n_passes):
-        filtered, fvar = _atrous_pass(filtered, fvar, flum, normal, depth, 1 << i, h, w)
+    if _use_pallas_atrous():
+        from ..kernels.atrous import atrous_pass_pallas
+
+        for i in range(n_passes):
+            filtered, fvar = atrous_pass_pallas(
+                filtered, fvar, normal, depth, step=1 << i)
+    else:
         flum = filtered @ _LUMA
+        for i in range(n_passes):
+            filtered, fvar = _atrous_pass(filtered, fvar, flum, normal, depth, 1 << i, h, w)
+            flum = filtered @ _LUMA
 
     return filtered * albedo, new_state
 
