@@ -57,3 +57,7 @@ qb transposed_flat_u2 MRT_TRANSPOSED=1 MRT_TWOLEVEL=0 MRT_UNROLL=2
 qb transposed MRT_TRANSPOSED=1
 qb transposed_u2 MRT_TRANSPOSED=1 MRT_UNROLL=2
 say "transposed sweep done"
+
+say "pallas atrous TPU smoke/AB"
+timeout 1200 python scripts/atrous_tpu_check.py 2>>"$LOG" | tee -a "$LOG"
+say "atrous check done"
