@@ -61,3 +61,7 @@ say "transposed sweep done"
 say "pallas atrous TPU smoke/AB"
 timeout 1200 python scripts/atrous_tpu_check.py 2>>"$LOG" | tee -a "$LOG"
 say "atrous check done"
+
+say "final: flagship bench + cache re-prime"
+timeout 3600 python bench.py 2>>"$LOG" | tail -1 | tee -a "$LOG"
+say "flagship done"
