@@ -893,11 +893,100 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     )
 
 
+_STATE_2D = ("stack", "wo", "wd", "o", "d")  # lane axis 0 in row layout
+
+
+def _make_state2(o, d, lv, sh, ini, S, count_pops):
+    """Full per-lane two-level traversal state (row layout)."""
+    w = o.shape[0]
+    sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
+    st = dict(
+        wo=o, wd=d, o=o, d=d,
+        cur_inst=jnp.full((w,), -1, jnp.int32),
+        stack=jnp.zeros((w, S), jnp.int32),
+        sp=sp0,
+        best_t=ini["best_t"], best_tri=ini["best_tri"],
+        best_u=ini["best_u"], best_v=ini["best_v"],
+        found=ini["found"], best_inst=ini["best_inst"],
+        shadow=sh,
+    )
+    if count_pops:
+        st["pops"] = jnp.zeros((w,), jnp.int32)
+    return st
+
+
+def _run_state2(bvh, t_min, st, unroll: int, max_iters: int = 0):
+    """Run the two-level step loop over a state dict; ``max_iters`` > 0 caps
+    the while trips (capped pass 1); 0 runs to completion."""
+    def stepped(s):
+        for _ in range(unroll):
+            s = _step2(bvh, t_min, s)
+        return s
+
+    if max_iters > 0:
+        def stepped_c(c):
+            it, s = c
+            return it + 1, stepped(s)
+
+        _, st = jax.lax.while_loop(
+            lambda c: (c[0] < max_iters) & jnp.any(c[1]["sp"] > 0),
+            stepped_c, (jnp.zeros((), jnp.int32), st))
+        return st
+    return jax.lax.while_loop(lambda s: jnp.any(s["sp"] > 0), stepped, st)
+
+
+def _multipass2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
+                count_pops, passes, pass_cap, S):
+    """Capped-pass + alive-resort execution (see _traverse_chunked2)."""
+    n_rays = rays.origin.shape[0]
+    rc = n_rays // chunks
+    st = _make_state2(rays.origin, rays.direction, live0, shadow, init, S,
+                      count_pops)
+
+    def chunked(state, cap):
+        parts = {k: (v.reshape((chunks, rc) + v.shape[1:])) for k, v in state.items()}
+        out = jax.lax.map(
+            lambda s: _run_state2(bvh, t_min, s, unroll, max_iters=cap), parts)
+        return {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in out.items()}
+
+    order_total = None
+    for _ in range(passes - 1):
+        st = chunked(st, pass_cap)
+        alive = st["sp"] > 0
+        order = jnp.argsort(~alive, stable=True)  # alive-first, coherence kept
+        st = {k: jnp.take(v, order, axis=0) for k, v in st.items()}
+        order_total = (order if order_total is None
+                       else jnp.take(order_total, order))
+    st = chunked(st, 0)
+    keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
+    if count_pops:
+        keys = keys + ("pops",)
+    inv = jnp.argsort(order_total)
+    return {k: jnp.take(st[k], inv, axis=0) for k in keys}
+
+
+# Capped-pass occupancy knobs (experiment; env like MRT_TRANSPOSED — promote
+# to RenderSettings if the honest A/B wins): MRT_PASSES=2 MRT_PASSCAP=12.
+import os as _os
+
+_PASSES = int(_os.environ.get("MRT_PASSES", "1"))
+_PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
+
+
 def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
-                       chunks: int, unroll: int = 1, count_pops: bool = False):
+                       chunks: int, unroll: int = 1, count_pops: bool = False,
+                       passes: int = _PASSES, pass_cap: int = _PASS_CAP):
     """Chunked two-level traversal (wide._traverse's execution strategy with
     the two-level step): the coherence-sorted batch is split into independent
-    while_loops so all-dead chunks exit immediately."""
+    while_loops so all-dead chunks exit immediately.
+
+    ``passes > 1``: capped-pass occupancy recovery — pass 1 runs each chunk
+    for at most ``pass_cap`` while trips (x unroll steps), then lanes are
+    re-sorted alive-first (one state permutation) and the dense survivors
+    finish in pass 2 (dead chunks exit at their first cond check). A chunk
+    pays its MAX lane's steps, so the long tail (p99 ~3-6x the mean, measured
+    5.7x paid/used on primary rays) is paid only by the ~10-20% of lanes
+    still alive after the cap instead of by every lane."""
     n_rays = rays.origin.shape[0]
     f32 = jnp.float32
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
@@ -912,6 +1001,12 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
         )
     S = _stack_alloc(bvh.stack_bound,
                      bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
+
+    if passes > 1 and chunks > 1 and n_rays % chunks == 0 and not TRANSPOSED:
+        init = dict(init, best_t=jnp.minimum(
+            init["best_t"], jnp.asarray(rays.max_distance, f32)))
+        return _multipass2(bvh, rays, t_min, live0, shadow, init, chunks,
+                           unroll, count_pops, passes, pass_cap, S)
 
     def run_flat(o, d, lv, sh, ini):
         w = o.shape[0]

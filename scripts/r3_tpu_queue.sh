@@ -65,3 +65,10 @@ say "atrous check done"
 say "final: flagship bench + cache re-prime"
 timeout 3600 python bench.py 2>>"$LOG" | tail -1 | tee -a "$LOG"
 say "flagship done"
+
+say "capped-pass occupancy (predicted ~2.2x paid-step cut, PERF round 3)"
+qb pass2_cap8 MRT_PASSES=2 MRT_PASSCAP=8
+qb pass2_cap12 MRT_PASSES=2 MRT_PASSCAP=12
+qb pass2_cap16 MRT_PASSES=2 MRT_PASSCAP=16
+qb pass3_cap8 MRT_PASSES=3 MRT_PASSCAP=8
+say "capped-pass done"
