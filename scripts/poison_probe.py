@@ -59,11 +59,13 @@ def make_traversal(N):
     rm = jnp.full((N,), np.inf, jnp.float32)
     mask = jnp.ones((N,), bool)
 
+    chunks = max(N // 2048, 1)  # keep while bodies at 2048 lanes (compile time)
+
     def f(table, patch, ro, rd, rm, msk):
         b = wide.WideBVH(table.at[:8].set(patch), bvh.node_child,
                          bvh.leaf_tri, bvh.n_internal, bvh.depth)
         return wide._traverse(b, T.Rays(ro, rd, rm), 1e-4, False, msk,
-                              chunks=16, sort_rays=True, profile=False,
+                              chunks=chunks, sort_rays=True, profile=False,
                               unroll=2)
 
     return jax.jit(f), (bvh.table, bvh.table[:8], ro, rd, rm, mask), N
