@@ -1,0 +1,68 @@
+"""Env-knob matrix smoke: the round-3 TPU queue (scripts/r3_tpu_queue.sh)
+sweeps import-time knobs; each combo must render finite, non-trivial
+images that agree with the default config. Fresh subprocess per combo
+(knobs are read at module import)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, %r)
+import numpy as np
+from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+from mrt_tpu.engine.scene import Model, Scene
+
+scene = Scene(width=48, height=48)
+scene.models = [Model("sphere", position=[0, 0.5, 0], scale=0.5),
+                Model("plane", scale=10)]
+r = Renderer(scene, output_width=48, output_height=48)
+r.upscaler_mode = UPSCALER_OFF
+r.samples_per_pixel = 1
+r.max_bounces = 2
+r.use_motion_adaptive_sampling = False
+import os
+if os.environ.get("MRT_TWOLEVEL"):  # bench.py-style knob (not import-time)
+    r.two_level = os.environ["MRT_TWOLEVEL"] == "1"
+for _ in range(2):
+    r.draw()
+img = np.asarray(r.accum)
+print(json.dumps(dict(mean=float(img.mean()), finite=bool(np.isfinite(img).all()))))
+""" % (REPO,)
+
+COMBOS = [
+    {},
+    {"MRT_TRANSPOSED": "1"},
+    {"MRT_PASSES": "2", "MRT_PASSCAP": "8"},
+    {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
+    {"MRT_TRANSPOSED": "1", "MRT_TWOLEVEL": "0"},
+]
+
+
+def _run(env_extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run([sys.executable, "-c", CHILD], capture_output=True,
+                       text=True, env=env, cwd=REPO, timeout=600)
+    assert p.returncode == 0, f"{env_extra}: {p.stderr[-500:]}"
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["finite"], env_extra
+    return out["mean"]
+
+
+@pytest.mark.parametrize("combo", COMBOS[1:], ids=lambda c: "+".join(
+    f"{k}={v}" for k, v in c.items()))
+def test_knob_combo_matches_default(combo):
+    base = _run({})
+    got = _run(combo)
+    assert base > 1e-4
+    # knob combos change traversal ORDER/layout, never radiometry; tiny
+    # ULP drift is allowed, structural breakage is not
+    assert abs(got - base) / base < 1e-3, (combo, base, got)
