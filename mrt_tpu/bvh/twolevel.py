@@ -893,17 +893,27 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     )
 
 
-_STATE_2D = ("stack", "wo", "wd", "o", "d")  # lane axis 0 in row layout
+# 2D state arrays and their LANE axis per layout: row layout puts lanes
+# first; transposed layout (wide.TRANSPOSED) puts lanes last
+_STATE_2D = ("stack", "wo", "wd", "o", "d")
+
+
+def _lane_axis(key: str) -> int:
+    return (1 if TRANSPOSED else 0) if key in _STATE_2D else 0
 
 
 def _make_state2(o, d, lv, sh, ini, S, count_pops):
-    """Full per-lane two-level traversal state (row layout)."""
+    """Full per-lane two-level traversal state (layout per TRANSPOSED)."""
     w = o.shape[0]
     sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
-    st = dict(
-        wo=o, wd=d, o=o, d=d,
+    if TRANSPOSED:
+        st = dict(wo=o.T, wd=d.T, o=o.T, d=d.T,
+                  stack=jnp.zeros((S, w), jnp.int32))
+    else:
+        st = dict(wo=o, wd=d, o=o, d=d,
+                  stack=jnp.zeros((w, S), jnp.int32))
+    st.update(
         cur_inst=jnp.full((w,), -1, jnp.int32),
-        stack=jnp.zeros((w, S), jnp.int32),
         sp=sp0,
         best_t=ini["best_t"], best_tri=ini["best_tri"],
         best_u=ini["best_u"], best_v=ini["best_v"],
@@ -918,9 +928,11 @@ def _make_state2(o, d, lv, sh, ini, S, count_pops):
 def _run_state2(bvh, t_min, st, unroll: int, max_iters: int = 0):
     """Run the two-level step loop over a state dict; ``max_iters`` > 0 caps
     the while trips (capped pass 1); 0 runs to completion."""
+    step_fn = _step2_t if TRANSPOSED else _step2
+
     def stepped(s):
         for _ in range(unroll):
-            s = _step2(bvh, t_min, s)
+            s = step_fn(bvh, t_min, s)
         return s
 
     if max_iters > 0:
@@ -943,18 +955,29 @@ def _multipass2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
     st = _make_state2(rays.origin, rays.direction, live0, shadow, init, S,
                       count_pops)
 
+    def to_chunks(k, v):
+        if _lane_axis(k) == 1:  # (S, R) -> (chunks, S, rc)
+            s = v.shape[0]
+            return jnp.moveaxis(v.reshape(s, chunks, rc), 1, 0)
+        return v.reshape((chunks, rc) + v.shape[1:])
+
+    def from_chunks(k, v):
+        if _lane_axis(k) == 1:  # (chunks, S, rc) -> (S, R)
+            return jnp.moveaxis(v, 0, 1).reshape(v.shape[1], n_rays)
+        return v.reshape((n_rays,) + v.shape[2:])
+
     def chunked(state, cap):
-        parts = {k: (v.reshape((chunks, rc) + v.shape[1:])) for k, v in state.items()}
+        parts = {k: to_chunks(k, v) for k, v in state.items()}
         out = jax.lax.map(
             lambda s: _run_state2(bvh, t_min, s, unroll, max_iters=cap), parts)
-        return {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in out.items()}
+        return {k: from_chunks(k, v) for k, v in out.items()}
 
     order_total = None
     for _ in range(passes - 1):
         st = chunked(st, pass_cap)
         alive = st["sp"] > 0
         order = jnp.argsort(~alive, stable=True)  # alive-first, coherence kept
-        st = {k: jnp.take(v, order, axis=0) for k, v in st.items()}
+        st = {k: jnp.take(v, order, axis=_lane_axis(k)) for k, v in st.items()}
         order_total = (order if order_total is None
                        else jnp.take(order_total, order))
     st = chunked(st, 0)
@@ -1002,53 +1025,17 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     S = _stack_alloc(bvh.stack_bound,
                      bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
 
-    if passes > 1 and chunks > 1 and n_rays % chunks == 0 and not TRANSPOSED:
+    if passes > 1 and chunks > 1 and n_rays % chunks == 0:
         init = dict(init, best_t=jnp.minimum(
             init["best_t"], jnp.asarray(rays.max_distance, f32)))
         return _multipass2(bvh, rays, t_min, live0, shadow, init, chunks,
                            unroll, count_pops, passes, pass_cap, S)
 
     def run_flat(o, d, lv, sh, ini):
-        w = o.shape[0]
-        sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
-        if TRANSPOSED:
-            oT, dT = o.T, d.T  # (3, w): rays in lanes (see wide.TRANSPOSED)
-            st = dict(
-                wo=oT, wd=dT, o=oT, d=dT,
-                cur_inst=jnp.full((w,), -1, jnp.int32),
-                stack=jnp.zeros((S, w), jnp.int32),
-                sp=sp0,
-                best_t=ini["best_t"], best_tri=ini["best_tri"],
-                best_u=ini["best_u"], best_v=ini["best_v"],
-                found=ini["found"], best_inst=ini["best_inst"],
-                shadow=sh,
-            )
-        else:
-            st = dict(
-                wo=o, wd=d, o=o, d=d,
-                cur_inst=jnp.full((w,), -1, jnp.int32),
-                stack=jnp.zeros((w, S), jnp.int32),
-                sp=sp0,
-                best_t=ini["best_t"], best_tri=ini["best_tri"],
-                best_u=ini["best_u"], best_v=ini["best_v"],
-                found=ini["found"], best_inst=ini["best_inst"],
-                shadow=sh,
-            )
-        if count_pops:
-            st["pops"] = jnp.zeros((w,), jnp.int32)
-        def one(s):
-            return (_step2_t if TRANSPOSED else _step2)(bvh, t_min, s)
-
-        def stepped(s):
-            # sp==0 lanes make _step2 a no-op, so checking the cross-lane
-            # condition only every ``unroll`` steps is exact
-            for _ in range(unroll):
-                s = one(s)
-            return s
-
-        st = jax.lax.while_loop(
-            lambda s: jnp.any(s["sp"] > 0), stepped, st,
-        )
+        # sp==0 lanes make the step a no-op, so checking the cross-lane
+        # condition only every ``unroll`` steps is exact
+        st = _make_state2(o, d, lv, sh, ini, S, count_pops)
+        st = _run_state2(bvh, t_min, st, unroll)
         keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
         if count_pops:
             keys = keys + ("pops",)

@@ -42,6 +42,7 @@ qb transposed MRT_TRANSPOSED=1
 qb transposed_u2 MRT_TRANSPOSED=1 MRT_UNROLL=2
 qb flat_base MRT_TWOLEVEL=0
 qb transposed_flat MRT_TRANSPOSED=1 MRT_TWOLEVEL=0
+qb pass2_transposed MRT_PASSES=2 MRT_PASSCAP=12 MRT_TRANSPOSED=1
 canary
 
 say "stream retry (occupancy ~1; round-2 loss was measured in the fake regime)"
