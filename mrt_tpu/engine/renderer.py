@@ -29,6 +29,11 @@ from ..render import accumulate as acc
 from ..render import wavefront as wf
 from . import scene as scene_mod
 
+# staged-path stage 2+3 fusion knob (see _trace_all_tiles_finish_frame)
+import os as _os
+
+_FUSE_FINISH = _os.environ.get("MRT_FUSE_FINISH", "0") == "1"
+
 # Properties whose change invalidates accumulated history
 # (Renderer.swift:52-197 didSet { frameIndex = 0 }).
 _RESET_PROPS = {
@@ -169,6 +174,28 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
         return wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
                               offsets, prev_motion,
                               prime_primary=pp, prime_shadow=ps, step_hint=hint)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _trace_all_tiles_finish_frame(settings, statics, scene, bvh, geom, uniforms,
+                                  offsets, prev_motion, pp, ps, hint, prev_accum,
+                                  table_patch=None, geom_patch=None):
+    """Stages 2+3 fused: trace every tile AND temporally accumulate in ONE
+    program — saves one ~60-70 ms program launch per frame on the axon
+    tunnel (dispatch, not device, cost). Env-gated (MRT_FUSE_FINISH=1)
+    pending a TPU check that the extra image-sized ops don't evict the
+    VMEM table placement the trace-only program enjoys."""
+    if table_patch is not None and hasattr(bvh, "table"):
+        bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
+    geom = _patch_geom_rows(geom, geom_patch)
+    with jax.named_scope("trace"):
+        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
+                             offsets, prev_motion,
+                             prime_primary=pp, prime_shadow=ps, step_hint=hint)
+    with jax.named_scope("accumulate"):
+        accum = acc.accumulate(settings, uniforms, out.color, out.motion,
+                               prev_motion, prev_accum)
+    return out, accum
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
@@ -736,6 +763,13 @@ class Renderer:
                 object.__setattr__(self, "_prepare_cache",
                                    ((settings, statics), leaves,
                                     (scene2, geom, bvh2)))
+            elif _FUSE_FINISH:
+                out, fused_accum = _trace_all_tiles_finish_frame(
+                    settings, statics, scene2, bvh2, geom, uniforms,
+                    self.offsets, self.motion, self.prime_primary,
+                    self.prime_shadow, self.step_hint, self.accum,
+                    patch, gpatch,
+                )
             else:
                 out = _trace_all_tiles_frame(
                     settings, statics, scene2, bvh2, geom, uniforms,
@@ -751,8 +785,11 @@ class Renderer:
                     normal=out.normal,
                     roughness=out.roughness,
                 )
-            accum = _finish_frame(settings, uniforms, out.color, out.motion,
-                                  self.motion, self.accum)
+            if _FUSE_FINISH and not self.table_donate:
+                accum = fused_accum
+            else:
+                accum = _finish_frame(settings, uniforms, out.color, out.motion,
+                                      self.motion, self.accum)
             return (accum, out.depth, out.motion, gbuffer, scene2.positions_obj,
                     rays_total, out.prime_primary, out.prime_shadow,
                     out.step_hint)

@@ -57,6 +57,7 @@ qb row128_k6 MRT_ROW=128 MRT_ARITY=8 MRT_LEAF_K=6
 canary
 
 say "donation / fuse / shapes / unroll / chunks / tile"
+qb fuse_finish MRT_FUSE_FINISH=1
 qb donate MRT_DONATE=1
 qb fuse0 MRT_FUSE=0
 qb a12k8 MRT_ARITY=12 MRT_LEAF_K=8
