@@ -171,9 +171,12 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
         bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
     geom = _patch_geom_rows(geom, geom_patch)
     with jax.named_scope("trace"):
-        return wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
-                              offsets, prev_motion,
-                              prime_primary=pp, prime_shadow=ps, step_hint=hint)
+        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
+                             offsets, prev_motion,
+                             prime_primary=pp, prime_shadow=ps, step_hint=hint)
+    # ray-counter reduction INSIDE the program: an eager jnp.sum after the
+    # launch is its own ~60-70 ms dispatch on the axon tunnel
+    return out, jnp.sum(out.rays_traced.astype(jnp.int64))
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -195,7 +198,7 @@ def _trace_all_tiles_finish_frame(settings, statics, scene, bvh, geom, uniforms,
     with jax.named_scope("accumulate"):
         accum = acc.accumulate(settings, uniforms, out.color, out.motion,
                                prev_motion, prev_accum)
-    return out, accum
+    return out, accum, jnp.sum(out.rays_traced.astype(jnp.int64))
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
@@ -215,7 +218,7 @@ def _trace_all_tiles_frame_donated(settings, statics, scene, bvh, geom, uniforms
         out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
                              offsets, prev_motion,
                              prime_primary=pp, prime_shadow=ps, step_hint=hint)
-    return out, bvh
+    return out, bvh, jnp.sum(out.rays_traced.astype(jnp.int64))
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -753,7 +756,7 @@ class Renderer:
             # all tiles in ONE program: one launch/frame instead of n_tiles
             # (each launch costs ~60-70 ms wall on the axon tunnel)
             if self.table_donate:
-                out, bvh2 = _trace_all_tiles_frame_donated(
+                out, bvh2, rays_total = _trace_all_tiles_frame_donated(
                     settings, statics, scene2, bvh2, geom, uniforms,
                     self.offsets, self.motion, self.prime_primary,
                     self.prime_shadow, self.step_hint, gpatch,
@@ -764,19 +767,18 @@ class Renderer:
                                    ((settings, statics), leaves,
                                     (scene2, geom, bvh2)))
             elif _FUSE_FINISH:
-                out, fused_accum = _trace_all_tiles_finish_frame(
+                out, fused_accum, rays_total = _trace_all_tiles_finish_frame(
                     settings, statics, scene2, bvh2, geom, uniforms,
                     self.offsets, self.motion, self.prime_primary,
                     self.prime_shadow, self.step_hint, self.accum,
                     patch, gpatch,
                 )
             else:
-                out = _trace_all_tiles_frame(
+                out, rays_total = _trace_all_tiles_frame(
                     settings, statics, scene2, bvh2, geom, uniforms,
                     self.offsets, self.motion, self.prime_primary,
                     self.prime_shadow, self.step_hint, patch, gpatch,
                 )
-            rays_total = jnp.sum(out.rays_traced.astype(jnp.int64))
             gbuffer = None
             if settings.enable_gbuffer:
                 gbuffer = dict(
