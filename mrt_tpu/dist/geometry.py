@@ -141,18 +141,26 @@ def build_shard_geometry(scene, pos_w, prev_w, nrm_w, gids, n_tris_global: int) 
 
 
 def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
-    """Jitted geometry-sharded frame step over a ('gp',) mesh: rays and image
-    replicated, BVH + triangle-indexed rows sharded, hits combined per bounce
-    and winner rows reconstructed via ICI collectives."""
+    """Jitted geometry-sharded frame step over a ('gp',) mesh — or a
+    combined ('dp', 'gp') mesh, the aggregate-scaling configuration: image
+    ROWS shard over dp while the BVH/triangle rows/atlas bands shard over
+    gp; each (dp, gp) chip traces its row block against its geometry shard
+    and hits min-t-combine over the gp axis only. Rays and image are
+    replicated across gp, geometry across dp."""
     assert "gp" in mesh.shape, "mesh needs a 'gp' axis"
     settings = dataclasses.replace(
         settings, geometry_axis="gp", two_level=False, hit_priming=False,
         use_mipmaps=False,  # banded atlas samples the packed LOD-0 twin
     )
     n_tris = statics.n_triangles
+    dp = mesh.shape.get("dp", 1)
+    has_dp = "dp" in mesh.shape
+    assert settings.height % dp == 0, (settings.height, dp)
+    local_h = settings.height // dp
 
     def shard_fn(scene, bvh, gids, row_gids, uniforms, offsets, prev_accum,
                  prev_motion, skin_bundle, joint_matrices, atlas_bands):
+        y0 = jax.lax.axis_index("dp") * local_h if has_dp else 0
         # the sharded leading axis arrives as a size-1 block: squeeze it
         bvh = jax.tree.map(lambda x: x[0], bvh)
         gids = gids[0]
@@ -185,16 +193,19 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = build_shard_geometry(scene, pos_w, prev_w, nrm_w, gids, n_tris)
         bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2, row_ids=row_gids)
-        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms, offsets, prev_motion)
+        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
+                             offsets, prev_motion, y0=y0)
         accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
         return accum, out.depth, out.motion
 
+    rowspec = P("dp", None) if has_dp else P()
+    imgspec = P("dp", None, None) if has_dp else P()
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("gp"), P("gp"), P("gp"), P(), P(), P(), P(), P(),
-                  P(), P("gp")),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(), P("gp"), P("gp"), P("gp"), P(), rowspec, imgspec,
+                  imgspec, P(), P(), P("gp")),
+        out_specs=(imgspec, rowspec, imgspec),
         check_vma=False,
     )
 

@@ -242,3 +242,43 @@ def test_gp_banded_atlas_matches_single_chip():
         gids=gids, row_gids=row_gids, atlas_bands=bands,
     )
     np.testing.assert_allclose(np.asarray(accum), single, atol=1e-5)
+
+
+def test_dp_gp_combined_mesh_matches_single_chip():
+    """Combined ('dp','gp') mesh: image rows shard over dp while geometry +
+    atlas bands shard over gp — the aggregate-scaling configuration."""
+    from jax.sharding import Mesh
+
+    from mrt_tpu.assets import texture as tex
+    from mrt_tpu.dist import geometry as G
+
+    w = h = 32
+    scene = _scene(w, h)
+    settings = _settings(w, h)
+    data, statics = scene.compile()
+
+    r = Renderer(_scene(w, h), output_width=w, output_height=h)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = 1
+    r.max_bounces = 2
+    r.use_motion_adaptive_sampling = False
+    r._allocate_state()
+    single = np.asarray(r.draw())
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "gp"))
+    idx = np.asarray(data.indices)
+    pos = np.asarray(data.positions_obj)
+    tfm = np.asarray(data.instance_transform)[np.asarray(data.vertex_instance)]
+    pos_w = np.einsum("vij,vj->vi", tfm[:, :3, :3], pos) + tfm[:, :3, 3]
+    v0, v1, v2 = pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]]
+    bvhs, gids, row_gids, _ = G.build_sharded_bvhs(v0, v1, v2, 4)
+    bands = tex.band_atlas(data.atlas, 4)
+
+    step = G.build_gp_render_step(settings, statics, mesh)
+    uniforms = T.make_frame_uniforms(camera=r.current_camera(), frame_index=0)
+    accum, depth, motion = step(
+        data, bvhs, uniforms, r.offsets,
+        jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w, 2), jnp.float32),
+        gids=gids, row_gids=row_gids, atlas_bands=bands,
+    )
+    np.testing.assert_allclose(np.asarray(accum), single, atol=1e-5)
