@@ -68,6 +68,7 @@ qb chunks4 MRT_CHUNKS=4
 qb chunks16 MRT_CHUNKS=16
 qb tile32k MRT_TILE=32768
 qb tile131k MRT_TILE=131072
+qb prime MRT_PRIME=1
 canary
 
 say "staged-config suite (small)"
