@@ -291,6 +291,12 @@ class FrameStats:
         # so the frame loop must never read device scalars back
         if self._pending_rays is not None:
             self._deferred.append(self._pending_rays)
+            if len(self._deferred) >= 1024:
+                # bound the live-buffer count for long interactive sessions:
+                # one stack+sum dispatch per 1024 frames, still zero D2H
+                import jax.numpy as _jnp
+
+                self._deferred = [_jnp.sum(_jnp.stack(self._deferred))]
         self._pending_rays = rays_traced
         if self._last is not None:
             dt_ms = (now - self._last) * 1e3
@@ -539,8 +545,13 @@ class Renderer:
         # permanently poisons axon dispatch ~300x (docs/PERF.md round 2j)
         host = getattr(self.scene, "host_mirror", None)
         if host is not None:
-            transforms, pos = host["transforms"], host["positions"]
+            pos = host["positions"]
             vinst, idx = host["vertex_instance"], host["indices"]
+            # transforms come from the LIVE Model objects, not the compile-
+            # time mirror: rebuild_bvh's whole purpose is repairing tree
+            # quality after large moves, so it must see the CURRENT pose
+            # (host-side numpy — still no D2H)
+            transforms = np.asarray(self.scene.instance_transforms())
         else:  # dist/test wrappers that hand-build SceneData
             transforms = np.asarray(scene.instance_transform)
             pos = np.asarray(scene.positions_obj)

@@ -111,7 +111,7 @@ def atrous_pass_pallas(demod, var, normal, depth, *, step: int,
     out = pl.pallas_call(
         functools.partial(_kernel, step=step, tile=tile),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((4, tile, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, h_pad, w), jnp.float32),

@@ -24,10 +24,14 @@ _LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
 # tile's halo into VMEM once and computes all 25 taps resident — one HBM
 # read per plane per pass vs the XLA formulation's 25 shifted windows.
 # auto = Pallas on TPU, XLA elsewhere (interpret-mode Pallas is test-only).
-_ATROUS_IMPL = os.environ.get("MRT_ATROUS", "auto")  # auto | pallas | xla
+_ATROUS_IMPL = os.environ.get("MRT_ATROUS", "xla")  # xla | pallas | auto
 
 
 def _use_pallas_atrous() -> bool:
+    # default stays XLA until scripts/atrous_tpu_check.py validates the
+    # Mosaic kernel on a real chip (a compile failure or device fault in
+    # the render path could wedge the axon device) — flip the default to
+    # "auto" once the TPU smoke passes
     if _ATROUS_IMPL == "pallas":
         return True
     if _ATROUS_IMPL == "xla":

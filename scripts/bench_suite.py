@@ -19,13 +19,17 @@ def _measure(r, frames):
 
     r.draw()
     jax.block_until_ready(r.accum)
-    total = 0
+    # zero D2H in the timed loop (one readback serializes every later
+    # dispatch on the axon tunnel — docs/PERF.md round 2j); counters are
+    # device scalars read back after the clock stops
+    counts = []
     t0 = time.time()
     for _ in range(frames):
         r.draw(1 / 60)
-        total += int(r.last_rays_traced)
+        counts.append(r.last_rays_traced)
     jax.block_until_ready(r.accum)
     dt = time.time() - t0
+    total = sum(int(c) for c in counts)
     return dict(
         mrays_per_s=round(total / dt / 1e6, 3),
         fps=round(frames / dt, 2),

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Everything to run, in order, when the axon tunnel comes back
+# (invoked by the /tmp/tunnel_watch.sh poller). Never kills python
+# mid-TPU work: budget overruns leave the process to finish naturally
+# and abort the remaining sequence (CLAUDE.md).
+set -u
+cd "$(dirname "$0")/.."
+WLOG=/tmp/tunnel_watch.log
+note() { echo "$* at $(date)" >> "$WLOG"; }
+
+run_bounded() { # budget_s out_file cmd...
+  local budget=$1 out=$2; shift 2
+  "$@" > "$out" 2>&1 &
+  local pid=$!
+  local t=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 15; t=$((t + 15))
+    if [ "$t" -ge "$budget" ]; then
+      note "STUCK: $out exceeded ${budget}s (PID $pid left running); aborting sequence"
+      exit 1
+    fi
+  done
+  wait "$pid" 2>/dev/null || true
+}
+
+note "tunnel up"
+run_bounded 2400 /tmp/probe.log      python scripts/poison_probe.py
+note "probe done"
+run_bounded 2400 /tmp/frameprobe.log python scripts/poison_frame_probe.py
+note "frameprobe done"
+run_bounded 3600 /tmp/flagship_prime.log python bench.py
+note "flagship prime done"
+run_bounded 2400 /tmp/honest.log     python scripts/honest_microbench.py
+note "honest done"
+bash scripts/r3_tpu_queue.sh > /tmp/r3_queue_out.log 2>&1
+note "ALL done"

@@ -23,9 +23,7 @@ def main():
     base = next((v for n, v, _ in rows if n == "base" and v), None)
     print(f"{'experiment':24} {'Mrays/s':>9} {'vs base':>8}  detail")
     for n, v, d in sorted(rows, key=lambda r: -(r[1] or 0)):
-        rel = f"{v / base:+.1%}".replace("+", "+") if (base and v) else "  n/a"
-        if base and v:
-            rel = f"{(v - base) / base:+7.1%}"
+        rel = f"{(v - base) / base:+7.1%}" if (base and v) else "    n/a"
         dragon = (d.get("dragon_1m") or {}).get("mrays_per_s")
         extra = f"dragon_1m={dragon}" if dragon else ""
         print(f"{n:24} {v or 0:9.3f} {rel:>8}  {extra}")

@@ -14,16 +14,37 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r3_queue.log
 say() { echo "=== $* ($(date +%H:%M:%S))" | tee -a "$LOG"; }
+# Never SIGKILL/SIGTERM a python mid-TPU work (CLAUDE.md: a killed process
+# wedges the axon grant). run_bounded launches detached and POLLS; on
+# budget overrun it leaves the process to finish naturally and aborts the
+# remaining queue instead of killing.
+run_bounded() { # budget_s out_file cmd...
+  local budget=$1 out=$2; shift 2
+  "$@" > "$out" 2>&1 &
+  local pid=$!
+  local t=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 10; t=$((t + 10))
+    if [ "$t" -ge "$budget" ]; then
+      say "run exceeded ${budget}s - leaving PID $pid to finish naturally; ABORTING queue"
+      exit 1
+    fi
+  done
+  wait "$pid" 2>/dev/null || true
+}
 qb() { # name, env...
   local name=$1; shift
   say "quick $name [$*]"
-  env "$@" timeout 2400 python bench.py --quick 2>>"$LOG" | tail -1 \
+  run_bounded 2400 /tmp/qb_run.out env "$@" python bench.py --quick
+  cat /tmp/qb_run.out >> "$LOG"
+  tail -1 /tmp/qb_run.out | grep '^{' \
     | sed "s/^/{\"exp\": \"$name\"} /" | tee -a "$LOG"
 }
 canary() {
-  timeout 120 python -c "import jax, jax.numpy as jnp; \
-jax.block_until_ready(jnp.ones((8,)) + 1); print('canary ok')" \
-    >>"$LOG" 2>&1 || { say "CANARY FAILED - aborting queue"; exit 1; }
+  run_bounded 180 /tmp/canary.out python -c "import jax, jax.numpy as jnp; \
+jax.block_until_ready(jnp.ones((8,)) + 1); print('canary ok')"
+  grep -q "canary ok" /tmp/canary.out \
+    || { say "CANARY FAILED - aborting queue"; exit 1; }
 }
 
 say "baseline"
@@ -72,9 +93,16 @@ qb prime MRT_PRIME=1
 canary
 
 say "staged-config suite (small)"
-timeout 3600 python scripts/bench_suite.py --small 2>>"$LOG" | tee -a "$LOG"
+run_bounded 3600 /tmp/suite.out python scripts/bench_suite.py --small
+cat /tmp/suite.out | tee -a "$LOG"
+canary
+
+say "flagship re-prime with round-3 default trace path (CLAUDE.md working agreement)"
+run_bounded 3600 /tmp/flagship.out python bench.py
+tail -1 /tmp/flagship.out | tee -a "$LOG"
 canary
 
 say "pallas atrous TPU smoke/AB (device-fault risk: LAST)"
-timeout 1200 python scripts/atrous_tpu_check.py 2>>"$LOG" | tee -a "$LOG"
+run_bounded 1200 /tmp/atrous.out python scripts/atrous_tpu_check.py
+cat /tmp/atrous.out | tee -a "$LOG"
 say "queue done"

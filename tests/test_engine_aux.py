@@ -199,3 +199,27 @@ def test_checkpoint_roundtrip_animated(tmp_path):
     x = np.asarray(ra.draw(1 / 30))
     y = np.asarray(rb.draw(1 / 30))
     np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+def test_rebuild_bvh_sees_current_pose():
+    """rebuild_bvh must rebuild from the LIVE model transforms, not the
+    compile-time host mirror (its purpose is repairing tree quality after
+    large moves — code-review round 3)."""
+    from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+    from mrt_tpu.engine.scene import Model, Scene
+
+    scene = Scene(width=32, height=32)
+    scene.models = [Model("sphere", position=[0.0, 0.5, 0.0], scale=0.5),
+                    Model("plane", scale=4)]
+    r = Renderer(scene, output_width=32, output_height=32)
+    r.upscaler_mode = UPSCALER_OFF
+    r.two_level = False  # flat world-space rebuild path
+
+    scene.models[0].position = np.asarray([50.0, 0.5, 0.0], np.float32)
+    r._sync_scene()
+    r.rebuild_bvh()
+    root = np.asarray(r.bvh.table[0])
+    from mrt_tpu.bvh import wide
+    A = wide.ARITY
+    bmax_x = np.nanmax(root[3 * A:4 * A])
+    assert bmax_x > 40.0, bmax_x  # tree bounds cover the moved sphere
