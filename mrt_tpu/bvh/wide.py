@@ -811,6 +811,9 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
         )
         if count_pops and "pops" not in st:
             st["pops"] = jnp.zeros((n_rays,), jnp.int32)
+    elif _PASSES > 1 and chunks > 1 and n_rays % chunks == 0 and not profile:
+        st = _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks,
+                             unroll, count_pops, _PASSES, _PASS_CAP)
     elif chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
@@ -888,7 +891,9 @@ def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool
 
 
 def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
-                        init=None, unroll: int = 1, count_pops: bool = False):
+                        init=None, unroll: int = 1, count_pops: bool = False,
+                        max_iters: int = 0, return_state: bool = False,
+                        state_override=None):
     n_rays = rays.origin.shape[0]
     n_i = wbvh.n_internal
     table = wbvh.table
@@ -923,6 +928,10 @@ def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile:
         state["iters"] = jnp.zeros((n_rays,), jnp.int32)
     elif count_pops:
         state["pops"] = jnp.zeros((n_rays,), jnp.int32)
+    if state_override is not None:
+        # multipass continuation: full mid-traversal state (incl. stack)
+        # carried from a capped earlier pass (see _multipass_flat)
+        state = dict(state_override)
 
     def cond(st):
         live = (st["sp"] > 0) & ~(st["found"] & shadow)
@@ -991,7 +1000,18 @@ def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile:
                 s = _one(s)
             return s
 
-    st = jax.lax.while_loop(cond, body, state)
+    if max_iters > 0:
+        def stepped_c(c):
+            it, s = c
+            return it + 1, body(s)
+
+        _, st = jax.lax.while_loop(
+            lambda c: (c[0] < max_iters) & cond(c[1]), stepped_c,
+            (jnp.zeros((), jnp.int32), state))
+    else:
+        st = jax.lax.while_loop(cond, body, state)
+    if return_state:
+        return st
     keys = ("best_t", "best_tri", "best_u", "best_v", "found")
     if profile:
         keys = keys + ("pops", "iters")
@@ -1002,7 +1022,8 @@ def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile:
 
 def _traverse_flat_t(wbvh: WideBVH, rays: Rays, t_min, mask, shadow,
                      profile: bool = False, init=None, unroll: int = 1,
-                     count_pops: bool = False):
+                     count_pops: bool = False, max_iters: int = 0,
+                     return_state: bool = False, state_override=None):
     """Transposed-layout twin of _traverse_flat_rows (see TRANSPOSED above):
     stack (S, R), child/leaf arrays (ARITY/LEAF_K, R), per-ray terms (1, R).
     One (R, ROW) -> (ROW, R) relayout after the row gather buys full-lane-
@@ -1043,6 +1064,8 @@ def _traverse_flat_t(wbvh: WideBVH, rays: Rays, t_min, mask, shadow,
         state["iters"] = jnp.zeros((n_rays,), jnp.int32)
     elif count_pops:
         state["pops"] = jnp.zeros((n_rays,), jnp.int32)
+    if state_override is not None:
+        state = dict(state_override)
 
     def cond(st):
         live = (st["sp"] > 0) & ~(st["found"] & shadow)
@@ -1110,13 +1133,109 @@ def _traverse_flat_t(wbvh: WideBVH, rays: Rays, t_min, mask, shadow,
                 s = _one(s)
             return s
 
-    st = jax.lax.while_loop(cond, body, state)
+    if max_iters > 0:
+        def stepped_c(c):
+            it, s = c
+            return it + 1, body(s)
+
+        _, st = jax.lax.while_loop(
+            lambda c: (c[0] < max_iters) & cond(c[1]), stepped_c,
+            (jnp.zeros((), jnp.int32), state))
+    else:
+        st = jax.lax.while_loop(cond, body, state)
+    if return_state:
+        return st
     keys = ("best_t", "best_tri", "best_u", "best_v", "found")
     if profile:
         keys = keys + ("pops", "iters")
     elif count_pops:
         keys = keys + ("pops",)
     return {k: st[k] for k in keys}
+
+
+# Capped-pass occupancy knobs (shared semantics with twolevel's; see
+# twolevel._traverse_chunked2 docstring — pass 1 capped, alive-first
+# resort, survivors finish densely packed).
+_PASSES = int(_os.environ.get("MRT_PASSES", "1"))
+_PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
+
+
+def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
+                    count_pops, passes, cap):
+    """Capped-pass + alive-resort execution of the FLAT traversal (the
+    two-level twin is twolevel._multipass2). Used by the gp-sharded path,
+    which forces two_level=False."""
+    n = rays.origin.shape[0]
+    rc = n // chunks
+    impl = _traverse_flat_t if TRANSPOSED else _traverse_flat_rows
+    m = jnp.ones((n,), bool) if mask is None else mask
+
+    def to_chunks(k, v):
+        if k == "stack" and TRANSPOSED:
+            return jnp.moveaxis(v.reshape(v.shape[0], chunks, rc), 1, 0)
+        return v.reshape((chunks, rc) + v.shape[1:])
+
+    def from_chunks(k, v):
+        if k == "stack" and TRANSPOSED:
+            return jnp.moveaxis(v, 0, 1).reshape(v.shape[1], n)
+        return v.reshape((n,) + v.shape[2:])
+
+    def lane_axis(k):
+        return 1 if (k == "stack" and TRANSPOSED) else 0
+
+    # pass 1 (capped) builds state from rays/mask/init per chunk
+    init_c = ({k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
+              if init is not None else None)
+
+    def p1(args):
+        o, d, md, mm, sh, ini = args
+        return impl(wbvh, Rays(o, d, md), t_min, mm, sh, init=ini,
+                    unroll=unroll, count_pops=count_pops,
+                    max_iters=cap, return_state=True)
+
+    st = jax.lax.map(p1, (rays.origin.reshape(chunks, rc, 3),
+                          rays.direction.reshape(chunks, rc, 3),
+                          rays.max_distance.reshape(chunks, rc),
+                          m.reshape(chunks, rc),
+                          shadow.reshape(chunks, rc), init_c))
+    st = {k: from_chunks(k, v) for k, v in st.items()}
+
+    rays_c, shadow_c = rays, shadow
+    order_total = None
+    for p in range(passes - 1):
+        alive = (st["sp"] > 0) & ~(st["found"] & shadow_c)
+        order = jnp.argsort(~alive, stable=True)  # alive-first, order kept
+        st = {k: jnp.take(v, order, axis=lane_axis(k)) for k, v in st.items()}
+        pool = jnp.concatenate(
+            [rays_c.origin, rays_c.direction, rays_c.max_distance[:, None],
+             shadow_c.astype(jnp.float32)[:, None]], axis=1)
+        pool = jnp.take(pool, order, axis=0)
+        rays_c = Rays(pool[:, 0:3], pool[:, 3:6], pool[:, 6])
+        shadow_c = pool[:, 7] > 0.5
+        order_total = (order if order_total is None
+                       else jnp.take(order_total, order))
+
+        cap_i = 0 if p == passes - 2 else cap
+        parts = {k: to_chunks(k, v) for k, v in st.items()}
+
+        def p2(args, _cap=cap_i):
+            o, d, md, sh, ov = args
+            return impl(wbvh, Rays(o, d, md), t_min, None, sh,
+                        unroll=unroll, count_pops=count_pops,
+                        max_iters=_cap, return_state=True,
+                        state_override=ov)
+
+        st = jax.lax.map(p2, (rays_c.origin.reshape(chunks, rc, 3),
+                              rays_c.direction.reshape(chunks, rc, 3),
+                              rays_c.max_distance.reshape(chunks, rc),
+                              shadow_c.reshape(chunks, rc), parts))
+        st = {k: from_chunks(k, v) for k, v in st.items()}
+
+    keys = ("best_t", "best_tri", "best_u", "best_v", "found")
+    if count_pops:
+        keys = keys + ("pops",)
+    inv = jnp.argsort(order_total)
+    return {k: jnp.take(st[k], inv, axis=0) for k in keys}
 
 
 def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,
