@@ -43,6 +43,9 @@ COMBOS = [
     {"MRT_PASSES": "2", "MRT_PASSCAP": "8"},
     {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
     {"MRT_TRANSPOSED": "1", "MRT_TWOLEVEL": "0"},
+    {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TRANSPOSED": "1",
+     "MRT_TWOLEVEL": "0"},
+    {"MRT_FUSE_FINISH": "1", "MRT_PASSES": "2"},
 ]
 
 
