@@ -8,6 +8,16 @@ cd "$(dirname "$0")/.."
 WLOG=/tmp/tunnel_watch.log
 note() { echo "$* at $(date)" >> "$WLOG"; }
 
+# ROUND_DEADLINE (epoch secs, optional): leave the last ~15 min of the
+# round to the driver's own bench run — never start a phase that cannot
+# fit before the deadline.
+DEADLINE="${ROUND_DEADLINE:-0}"
+fits() { # budget_s
+  [ "$DEADLINE" = "0" ] && return 0
+  local now; now=$(date +%s)
+  [ $((now + $1 + 900)) -le "$DEADLINE" ]
+}
+
 run_bounded() { # budget_s out_file cmd...
   local budget=$1 out=$2; shift 2
   "$@" > "$out" 2>&1 &
@@ -23,14 +33,10 @@ run_bounded() { # budget_s out_file cmd...
   wait "$pid" 2>/dev/null || true
 }
 
-note "tunnel up"
-run_bounded 2400 /tmp/probe.log      python scripts/poison_probe.py
-note "probe done"
-run_bounded 2400 /tmp/frameprobe.log python scripts/poison_frame_probe.py
-note "frameprobe done"
-run_bounded 3600 /tmp/flagship_prime.log python bench.py
-note "flagship prime done"
-run_bounded 2400 /tmp/honest.log     python scripts/honest_microbench.py
-note "honest done"
-bash scripts/r3_tpu_queue.sh > /tmp/r3_queue_out.log 2>&1
-note "ALL done"
+note "tunnel up (deadline=$DEADLINE)"
+fits 2400 && { run_bounded 2400 /tmp/probe.log python scripts/poison_probe.py; note "probe done"; } || note "SKIP probe (deadline)"
+fits 1800 && { run_bounded 1800 /tmp/frameprobe.log python scripts/poison_frame_probe.py; note "frameprobe done"; } || note "SKIP frameprobe (deadline)"
+fits 3600 && { run_bounded 3600 /tmp/flagship_prime.log python bench.py; note "flagship prime done"; } || note "SKIP prime (deadline)"
+fits 2400 && { run_bounded 2400 /tmp/honest.log python scripts/honest_microbench.py; note "honest done"; } || note "SKIP honest (deadline)"
+fits 7200 && { bash scripts/r3_tpu_queue.sh > /tmp/r3_queue_out.log 2>&1; note "queue done"; } || note "SKIP queue (deadline)"
+note "sequence finished"
