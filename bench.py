@@ -88,8 +88,57 @@ def run(width, height, frames, dragon_subdivisions=None):
     return ray_counts, dt
 
 
+def _device_guard(timeout_s=240):
+    """Fail fast (one honest JSON line, exit 3) if the TPU is unreachable.
+
+    jax backend init dials the axon relay and blocks FOREVER when the tunnel
+    is down — even `timeout`-less driver invocations would silently eat the
+    whole bench window (measured: jax.devices() hangs indefinitely,
+    interpreter boot itself is fine). Probe cheaply: if the relay port
+    accepts, proceed; otherwise bound a subprocess device-init probe and
+    report an infra failure instead of hanging. CPU-forced runs skip the
+    guard entirely (no tunnel involved).
+    """
+    plat = os.environ.get("JAX_PLATFORMS") or "axon"
+    if "axon" not in plat and "tpu" not in plat:
+        return
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 8082), timeout=3).close()
+        return  # relay port accepting: normal path
+    except OSError:
+        pass
+    # Port refused: either a non-tunnel TPU environment (fine) or the tunnel
+    # is down (init would hang). Disambiguate with a bounded probe. Killing a
+    # hung-INIT python is safe — it never claimed the device grant.
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return
+    except subprocess.TimeoutExpired:
+        reason = f"TPU unreachable: jax device init hung >{timeout_s}s (axon tunnel down)"
+    except subprocess.CalledProcessError as e:
+        reason = f"TPU unreachable: jax device init failed rc={e.returncode}"
+    print(json.dumps({
+        "metric": "Mrays/s",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "fallback": True,
+        "detail": {"fallback_reason": reason, "infra_failure": True},
+    }))
+    sys.exit(3)
+
+
 def main():
     width, height, frames = 1920, 1080, 3
+    _device_guard()
     if "--quick" in sys.argv:
         width, height, frames = 512, 512, 2
     fallback_reason = None

@@ -8,6 +8,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if "--cpu" in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # The env var alone does NOT stick: the image's axon sitecustomize
+    # overrides platforms via jax.config at interpreter boot, and with the
+    # tunnel down the axon backend init hangs forever. jax.config.update
+    # after import wins (same pattern as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -160,6 +160,20 @@ def test_bench_schema():
     assert sum(int(c) for c in counts) > 0 and dt > 0
 
 
+def test_bench_device_guard_skips_on_cpu(monkeypatch):
+    """The tunnel-down fail-fast guard must no-op when CPU is forced —
+    otherwise it would subprocess-probe (or exit) in every test/CI run."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._device_guard(timeout_s=1) is None
+
+
 def test_graft_entry_single_chip():
     import os
     import sys
