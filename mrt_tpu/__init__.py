@@ -33,6 +33,22 @@ try:
 except Exception:
     pass
 
+# Honor a deliberately-set JAX_PLATFORMS env var. The image's axon
+# sitecustomize overrides platform selection via jax.config at interpreter
+# boot, so the env var alone silently does nothing — and a CPU-intended run
+# then initializes the axon backend, which HANGS forever when the tunnel is
+# down. A config.update after import restores env-var semantics (same pattern
+# as tests/conftest.py). Only NON-"axon" values are honored: "axon" is the
+# image's ambient value, and callers like tests/conftest.py legitimately
+# config.update to cpu in-process without touching the env — flipping them
+# back would hang the whole suite.
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat and _plat != "axon":
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from .core import types
 from .core.types import (
     Camera,
