@@ -174,6 +174,26 @@ def test_bench_device_guard_skips_on_cpu(monkeypatch):
     assert bench._device_guard(timeout_s=1) is None
 
 
+def test_package_import_honors_platform_env():
+    """JAX_PLATFORMS=cpu must actually select CPU after `import mrt_tpu` —
+    the image's sitecustomize overrides the env var via jax.config, and the
+    package re-applies non-axon values (a CPU-forced run must never dial the
+    axon tunnel: it hangs forever when the tunnel is down)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import mrt_tpu, jax; print(jax.devices()[0].platform)"],
+        cwd=repo, env=env, timeout=120, capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"
+
+
 def test_graft_entry_single_chip():
     import os
     import sys
