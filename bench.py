@@ -104,11 +104,16 @@ def _device_guard(timeout_s=240):
         return
     import socket
 
-    try:
-        socket.create_connection(("127.0.0.1", 8082), timeout=3).close()
-        return  # relay port accepting: normal path
-    except OSError:
-        pass
+    # CLAUDE.md documents the relay as "ports 8082+": probe the small known
+    # range (overridable) so a relay on 8083-8085 doesn't pay the bounded
+    # subprocess probe (extra backend init, up to timeout_s) every run.
+    ports_env = os.environ.get("MRT_RELAY_PORTS", "8082,8083,8084,8085")
+    for port in (int(p) for p in ports_env.split(",") if p.strip()):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=3).close()
+            return  # relay port accepting: normal path
+        except OSError:
+            continue
     # Port refused: either a non-tunnel TPU environment (fine) or the tunnel
     # is down (init would hang). Disambiguate with a bounded probe. Killing a
     # hung-INIT python is safe — it never claimed the device grant.

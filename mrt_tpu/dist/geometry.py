@@ -140,18 +140,24 @@ def build_shard_geometry(scene, pos_w, prev_w, nrm_w, gids, n_tris_global: int) 
     )
 
 
-def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
+def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh,
+                         banded: bool = False):
     """Jitted geometry-sharded frame step over a ('gp',) mesh — or a
     combined ('dp', 'gp') mesh, the aggregate-scaling configuration: image
     ROWS shard over dp while the BVH/triangle rows/atlas bands shard over
     gp; each (dp, gp) chip traces its row block against its geometry shard
     and hits min-t-combine over the gp axis only. Rays and image are
-    replicated across gp, geometry across dp."""
+    replicated across gp, geometry across dp.
+
+    ``banded=True`` declares that the step will be called with
+    ``atlas_bands`` (the gp-sharded packed atlas). Only then is
+    ``use_mipmaps`` forced off — the banded atlas carries LOD-0 texels
+    only. With a replicated atlas the caller's mip setting is honored."""
     assert "gp" in mesh.shape, "mesh needs a 'gp' axis"
-    settings = dataclasses.replace(
-        settings, geometry_axis="gp", two_level=False, hit_priming=False,
-        use_mipmaps=False,  # banded atlas samples the packed LOD-0 twin
-    )
+    overrides = dict(geometry_axis="gp", two_level=False, hit_priming=False)
+    if banded:
+        overrides["use_mipmaps"] = False  # bands sample the packed LOD-0 twin
+    settings = dataclasses.replace(settings, **overrides)
     n_tris = statics.n_triangles
     dp = mesh.shape.get("dp", 1)
     has_dp = "dp" in mesh.shape
@@ -214,6 +220,9 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
     def step(scene, bvh, uniforms, offsets, prev_accum, prev_motion,
              skin_bundle=(), joint_matrices=(), gids=None, row_gids=None,
              atlas_bands=None):
+        assert (atlas_bands is not None) == banded, (
+            "atlas_bands presence must match the banded= flag the step was "
+            "built with (mip gating is decided at build time)")
         if atlas_bands is not None:
             assert atlas_bands.shape[0] == n_gp
             # don't ship the replicated packed texels into the step — the

@@ -309,7 +309,10 @@ class FrameStats:
             self._deferred.append(self._pending_rays)
             self._pending_rays = None
         if self._deferred:
-            self.total_rays += int(sum(int(x) for x in self._deferred))
+            # collapse to ONE dispatch + ONE D2H (not per-counter int()s)
+            import jax.numpy as _jnp
+
+            self.total_rays += int(_jnp.sum(_jnp.stack(self._deferred)))
             self._deferred.clear()
         fps = 1000.0 / self.frame_ms if self.frame_ms else 0.0
         mrays = (self.total_rays / max(self.frames - 1, 1)) * fps / 1e6 if fps else 0.0
@@ -572,6 +575,16 @@ class Renderer:
             self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
 
     def rebuild_bvh(self):
+        """Rebuild BVH topology from the CURRENT instance transforms.
+
+        Rest-pose topology assumption: with a ``host_mirror`` the vertex
+        positions are the compile-time rest pose — skinned deformation is
+        NOT applied host-side (that would need a host LBS pass; per-frame
+        device refit keeps the bounds correct regardless). For heavily
+        deformed skinned scenes the tree SHAPE can therefore be stale,
+        degrading traversal quality but never correctness. The reference
+        has the same split: compacted static BLAS vs refit-only skinned
+        BLAS (Renderer.swift:464-606, 1141-1167)."""
         self._build_bvh()
 
     # -- camera controls (Renderer.swift:1327-1371) -------------------------------

@@ -1141,7 +1141,9 @@ def trace_tile(
                 g0, rays_total, pp, ps, hint)
 
     # TEMPORARY round-2j poison bisect: truncate the program at a stage
-    # (fresh subprocess per stage; see scripts/bisect_history25.py)
+    # (fresh subprocess per stage; findings ledger:
+    # scripts/poison_bisect/README.md; remove once scripts/poison_probe.py
+    # has run on the device and settled the trigger question)
     _bisect = os.environ.get("MRT_BISECT_STAGE")
     if _bisect:
         def _stub_outputs(color, rays):

@@ -35,10 +35,12 @@ run_bounded() { # budget_s out_file cmd...
 
 # fits() uses REALISTIC phase estimates (budgets in run_bounded stay the
 # pessimistic stuck-detection bounds)
+# ORDER (VERDICT r2 item 1): bank a verified flagship number FIRST —
+# everything else is meaningless if the driver record stays 0.0.
 note "tunnel up (deadline=$DEADLINE)"
+fits 1800 && { run_bounded 3600 /tmp/flagship_prime.log python bench.py; note "flagship prime done"; } || note "SKIP prime (deadline)"
 fits 1200 && { run_bounded 2400 /tmp/probe.log python scripts/poison_probe.py; note "probe done"; } || note "SKIP probe (deadline)"
 fits 900  && { run_bounded 1800 /tmp/frameprobe.log python scripts/poison_frame_probe.py; note "frameprobe done"; } || note "SKIP frameprobe (deadline)"
-fits 1500 && { run_bounded 3600 /tmp/flagship_prime.log python bench.py; note "flagship prime done"; } || note "SKIP prime (deadline)"
 fits 1500 && { run_bounded 2400 /tmp/honest.log python scripts/honest_microbench.py; note "honest done"; } || note "SKIP honest (deadline)"
 fits 5400 && { bash scripts/r3_tpu_queue.sh > /tmp/r3_queue_out.log 2>&1; note "queue done"; } || note "SKIP queue (deadline)"
 note "sequence finished"

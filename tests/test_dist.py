@@ -233,7 +233,7 @@ def test_gp_banded_atlas_matches_single_chip():
     hp = data.atlas.packed.shape[0]
     assert bands.shape[0] == 4 and bands.shape[1] == -(-hp // 4)
 
-    step = G.build_gp_render_step(settings, statics, mesh)
+    step = G.build_gp_render_step(settings, statics, mesh, banded=True)
     cam = r.current_camera()
     uniforms = T.make_frame_uniforms(camera=cam, frame_index=0)
     accum, depth, motion = step(
@@ -274,7 +274,7 @@ def test_dp_gp_combined_mesh_matches_single_chip():
     bvhs, gids, row_gids, _ = G.build_sharded_bvhs(v0, v1, v2, 4)
     bands = tex.band_atlas(data.atlas, 4)
 
-    step = G.build_gp_render_step(settings, statics, mesh)
+    step = G.build_gp_render_step(settings, statics, mesh, banded=True)
     uniforms = T.make_frame_uniforms(camera=r.current_camera(), frame_index=0)
     accum, depth, motion = step(
         data, bvhs, uniforms, r.offsets,
