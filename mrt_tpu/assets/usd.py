@@ -474,8 +474,8 @@ def extract_scene(root: _Prim, meta: dict):
 
 def load_usdz(path: str | Path):
     """Load the first USD layer from a .usdz container (zip, stored entries).
-    USDA layers parse natively; USDC (binary crate) layers are not yet
-    decoded — a clear error tells the caller to re-export as text usdz."""
+    USDA layers parse natively; USDC (binary crate) layers decode via
+    usdc.read_crate_prims (Model.swift:63-70 ModelIO-load analog)."""
     with zipfile.ZipFile(str(path)) as z:
         names = [n for n in z.namelist() if n.lower().endswith((".usda", ".usd", ".usdc"))]
         if not names:
