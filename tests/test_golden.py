@@ -64,6 +64,43 @@ def test_config2_environment_golden():
     assert rel < TOL, f"relative RMSE {rel:.4f} exceeds {TOL}"
 
 
+def test_config3_full_shading_golden():
+    """Config-3 class: glass + base-color/normal textures + emission + all
+    four light types at 128² — the union of Raytracing.metal:221-831 shading
+    branches in one image. Oracle-cross-checked once at generation time
+    (scripts/make_goldens.py), then frozen."""
+    from golden_scenes import config3_renderer
+
+    r = config3_renderer(size=128)
+    for _ in range(6):
+        r.draw()
+    golden = I.load_golden(GOLDENS / "config3_full_shading.npz")
+    rel = I.relative_rmse(np.asarray(r.accum), golden)
+    assert rel < TOL, f"relative RMSE {rel:.4f} exceeds {TOL}"
+
+
+def test_config4_skinned_motion_golden():
+    """Config-4 class: skinned robot + per-frame BVH refit over two frames,
+    with the motion and depth buffers frozen alongside the image (the
+    reference's skinned-refit split, Renderer.swift:464-606, and motion
+    G-buffer). Refit-vs-rebuild equivalence checked at generation time."""
+    from golden_scenes import config4_renderer
+
+    r = config4_renderer(size=64)
+    r.draw(1 / 30.0)
+    r.draw(1 / 30.0)
+    g = np.load(GOLDENS / "config4_skinned_motion.npz")
+    rel = I.relative_rmse(np.asarray(r.accum), g["image"])
+    assert rel < TOL, f"image relative RMSE {rel:.4f} exceeds {TOL}"
+    # motion/depth are geometric quantities: compare absolutely
+    assert np.allclose(np.asarray(r.motion), g["motion"], atol=1e-3)
+    d, gd = np.asarray(r.depth), g["depth"]
+    finite = np.isfinite(gd) & (gd < 1e7)
+    assert np.allclose(d[finite], gd[finite], atol=1e-3)
+    # the animated robot must actually be moving in the frozen buffers
+    assert (np.linalg.norm(g["motion"], axis=-1) > 0.05).any()
+
+
 def test_rmse_helpers():
     a = np.zeros((4, 4))
     b = np.ones((4, 4))

@@ -182,3 +182,28 @@ def test_legacy_and_env_match_oracle():
     )
     rel = I.relative_rmse(got, want)
     assert rel < 0.01, f"legacy+env vs oracle relative RMSE {rel:.4f}"
+
+
+def test_all_light_types_match_oracle():
+    """Area + spot + point + sun in one scene, with glass and emission —
+    point/sun sampling previously had no independent cross-check
+    (Raytracing.metal light-type switch, cf. Scene.swift:172-209)."""
+    import golden_scenes as GS
+
+    size = 16
+    r = GS.config3_renderer(size=size, textured=False, spp=1, bounces=2,
+                            sphere_res=(6, 12))
+    got = np.asarray(r.draw())
+
+    data, camera, verts_w, normals_w, lights = _oracle_inputs(r)
+    assert sorted(L["type"] for L in lights) == [1, 2, 3, 4]  # sun/spot/point/area
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=1, max_bounces=2, frame_index=0,
+        opacity=np.asarray(data.materials.opacity),
+        ior=np.asarray(data.materials.refraction_index),
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"all-light-types vs oracle relative RMSE {rel:.4f}"
