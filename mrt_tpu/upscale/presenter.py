@@ -49,10 +49,14 @@ def _present_denoised(color, gbuffer, depth, motion, dstate, history, history_we
     return tonemap_quantize(up), new_history, new_dstate
 
 
-def present(renderer) -> np.ndarray:
-    """Tonemapped uint8 RGB at output resolution. Rows are flipped so row 0 is
-    the top of the image (the render buffer is in texture order: row 0 has
-    uv.y = -1, which the reference's blit quad places at the screen bottom)."""
+def present_device(renderer) -> jnp.ndarray:
+    """Device-side present: upscale + tonemap + quantize, returning the uint8
+    image ON DEVICE (texture row order, not yet flipped). The interactive
+    frame loop uses this so presenting does not force a host sync — the
+    frames-in-flight analog of the reference's triple-buffered drawable
+    (Renderer.swift:207,1405-1503): the host may prepare and dispatch frame
+    N+1 while the device is still rendering/presenting frame N. Use
+    ``present`` when the pixels are actually needed on host."""
     from ..engine import renderer as R
 
     mode = renderer.upscaler_mode
@@ -87,7 +91,15 @@ def present(renderer) -> np.ndarray:
     else:
         img = _present_spatial(renderer.accum, out_h, out_w, "lanczos3")
 
-    return np.asarray(img)[::-1]
+    return img
+
+
+def present(renderer) -> np.ndarray:
+    """Tonemapped uint8 RGB at output resolution, on host. Rows are flipped so
+    row 0 is the top of the image (the render buffer is in texture order:
+    row 0 has uv.y = -1, which the reference's blit quad places at the screen
+    bottom)."""
+    return np.asarray(present_device(renderer))[::-1]
 
 
 def write_png(path: str, image_u8: np.ndarray):

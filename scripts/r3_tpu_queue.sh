@@ -102,6 +102,11 @@ run_bounded 3600 /tmp/flagship.out python bench.py
 tail -1 /tmp/flagship.out | tee -a "$LOG"
 canary
 
+say "config-5 FPS report (1080p->4K temporal orbit loop; VERDICT r2 item 6)"
+run_bounded 3600 /tmp/fps.out python scripts/fps_report.py
+tail -1 /tmp/fps.out | tee -a "$LOG"
+canary
+
 say "pallas atrous TPU smoke/AB (device-fault risk: LAST)"
 run_bounded 1200 /tmp/atrous.out python scripts/atrous_tpu_check.py
 cat /tmp/atrous.out | tee -a "$LOG"
