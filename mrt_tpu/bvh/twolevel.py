@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import Hits, Rays
+from ..core.types import GEOMETRY_MASK_GEOMETRY, Hits, Rays
 from . import lbvh
 from .wide import (
     ARITY,
@@ -65,6 +65,7 @@ _I_WBMIN = 12
 _I_WBMAX = 15
 _I_ROOT = 18
 _I_ID = 19
+_I_MASK = 20  # geometry mask bits (ShaderTypes.h:26-33), _encode_ids-packed
 
 
 @jax.tree_util.register_pytree_node_class
@@ -76,7 +77,7 @@ class TwoLevelBVH:
                  flat_tri_base, flat_tri_inst, skin_indices,
                  n_internal: int, n_leaf: int, n_instances: int, tlas_n: int,
                  tlas_depth: int, mesh_meta: tuple, inst_mesh: tuple,
-                 stack_bound: int | None = None):
+                 stack_bound: int | None = None, inst_masks: tuple | None = None):
         self.table = table  # (N, ROW) f32
         self.node_child = node_child  # (NI, ARITY) int32 global entry ids
         self.leaf_tri = leaf_tri  # (NL, LEAF_K) int32 LOCAL mesh tri ids
@@ -98,6 +99,16 @@ class TwoLevelBVH:
         # exact per-graph worst-case stack occupancy (wide.exact_stack_bound
         # over TLAS -> instance -> BLAS); None = depth heuristic
         self.stack_bound = None if stack_bound is None else int(stack_bound)
+        # per-instance geometry mask bits (instance-descriptor .mask analog,
+        # ShaderTypes.h:26-33); all-default compiles to mask-free traversal
+        self.inst_masks = (tuple(GEOMETRY_MASK_GEOMETRY for _ in range(self.n_instances))
+                           if inst_masks is None else tuple(int(m) for m in inst_masks))
+
+    @property
+    def has_masks(self) -> bool:
+        """Static gate: True only when some instance deviates from the default
+        geometry mask — the flagship path never pays for mask filtering."""
+        return any(m != GEOMETRY_MASK_GEOMETRY for m in self.inst_masks)
 
     def tree_flatten(self):
         return (
@@ -106,7 +117,7 @@ class TwoLevelBVH:
              self.skin_indices),
             (self.n_internal, self.n_leaf, self.n_instances, self.tlas_n,
              self.tlas_depth, self.mesh_meta, self.inst_mesh,
-             self.stack_bound),
+             self.stack_bound, self.inst_masks),
         )
 
     @classmethod
@@ -123,6 +134,7 @@ class TwoLevelBVH:
             n_instances=self.n_instances, tlas_n=self.tlas_n,
             tlas_depth=self.tlas_depth, mesh_meta=self.mesh_meta,
             inst_mesh=self.inst_mesh, stack_bound=self.stack_bound,
+            inst_masks=self.inst_masks,
         )
         d.update(kw)
         return TwoLevelBVH(**d)
@@ -308,6 +320,9 @@ def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
         mesh_meta=tuple(mesh_meta),
         inst_mesh=tuple(int(x) for x in inst_group),
         stack_bound=stack_bound,
+        inst_masks=tuple(
+            int(getattr(m, "geometry_mask", GEOMETRY_MASK_GEOMETRY)) for m in models
+        ),
     )
     # initial full refit fills every BLAS + instance + TLAS row
     all_indices = tuple(jnp.asarray(g["indices_local"]) for g in groups)
@@ -454,6 +469,7 @@ def refit(bvh: TwoLevelBVH, positions_obj, instance_transform, *,
             wbmax,
             _encode_ids(root_of_inst)[:, None],
             _encode_ids(jnp.arange(I, dtype=jnp.int32))[:, None],
+            _encode_ids(jnp.asarray(bvh.inst_masks, jnp.int32))[:, None],
         ],
         axis=1,
     )
@@ -565,6 +581,12 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
     # BLAS root joins the unified push below ------------------------------
     lane_inst = active & is_inst
     inst_hit = _slab_world(row, st["wo"], st["wd"], t_cap) & lane_inst
+    if "ray_mask" in st:
+        # geometry-mask filter (intersector.intersect(..., RAY_MASK_*),
+        # Raytracing.metal:733-735): skip instances whose mask bits don't
+        # overlap the lane's ray mask. Only compiled in when has_masks.
+        imask = _decode_ids(row[:, _I_MASK])
+        inst_hit = inst_hit & ((imask & st["ray_mask"]) != 0)
     new_o = _minv_apply(row[:, _I_MINV : _I_MINV + 12], st["wo"], is_dir=False)
     new_d = _minv_apply(row[:, _I_MINV : _I_MINV + 12], st["wd"], is_dir=True)
     st["o"] = jnp.where(inst_hit[:, None], new_o, st["o"])
@@ -673,6 +695,9 @@ def _step2_t(bvh: TwoLevelBVH, t_min, st):
     # --- instance rows --------------------------------------------------
     lane_inst = active & is_inst
     inst_hit = _slab_world_t(rowT, st["wo"], st["wd"], t_cap) & lane_inst
+    if "ray_mask" in st:
+        imask = _decode_ids(rowT[_I_MASK])
+        inst_hit = inst_hit & ((imask & st["ray_mask"]) != 0)
     new_o = _minv_apply_t(rowT[_I_MINV : _I_MINV + 12], st["wo"], is_dir=False)
     new_d = _minv_apply_t(rowT[_I_MINV : _I_MINV + 12], st["wd"], is_dir=True)
     st["o"] = jnp.where(inst_hit[None, :], new_o, st["o"])
@@ -902,7 +927,7 @@ def _lane_axis(key: str) -> int:
     return (1 if TRANSPOSED else 0) if key in _STATE_2D else 0
 
 
-def _make_state2(o, d, lv, sh, ini, S, count_pops):
+def _make_state2(o, d, lv, sh, ini, S, count_pops, ray_mask=None):
     """Full per-lane two-level traversal state (layout per TRANSPOSED)."""
     w = o.shape[0]
     sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
@@ -920,6 +945,8 @@ def _make_state2(o, d, lv, sh, ini, S, count_pops):
         found=ini["found"], best_inst=ini["best_inst"],
         shadow=sh,
     )
+    if ray_mask is not None:
+        st["ray_mask"] = ray_mask.astype(jnp.int32)
     if count_pops:
         st["pops"] = jnp.zeros((w,), jnp.int32)
     return st
@@ -948,12 +975,12 @@ def _run_state2(bvh, t_min, st, unroll: int, max_iters: int = 0):
 
 
 def _multipass2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
-                count_pops, passes, pass_cap, S):
+                count_pops, passes, pass_cap, S, ray_mask=None):
     """Capped-pass + alive-resort execution (see _traverse_chunked2)."""
     n_rays = rays.origin.shape[0]
     rc = n_rays // chunks
     st = _make_state2(rays.origin, rays.direction, live0, shadow, init, S,
-                      count_pops)
+                      count_pops, ray_mask=ray_mask)
 
     def to_chunks(k, v):
         if _lane_axis(k) == 1:  # (S, R) -> (chunks, S, rc)
@@ -998,7 +1025,8 @@ _PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
 
 def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                        chunks: int, unroll: int = 1, count_pops: bool = False,
-                       passes: int = _PASSES, pass_cap: int = _PASS_CAP):
+                       passes: int = _PASSES, pass_cap: int = _PASS_CAP,
+                       ray_mask=None):
     """Chunked two-level traversal (wide._traverse's execution strategy with
     the two-level step): the coherence-sorted batch is split into independent
     while_loops so all-dead chunks exit immediately.
@@ -1029,12 +1057,13 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
         init = dict(init, best_t=jnp.minimum(
             init["best_t"], jnp.asarray(rays.max_distance, f32)))
         return _multipass2(bvh, rays, t_min, live0, shadow, init, chunks,
-                           unroll, count_pops, passes, pass_cap, S)
+                           unroll, count_pops, passes, pass_cap, S,
+                           ray_mask=ray_mask)
 
-    def run_flat(o, d, lv, sh, ini):
+    def run_flat(o, d, lv, sh, ini, rm=None):
         # sp==0 lanes make the step a no-op, so checking the cross-lane
         # condition only every ``unroll`` steps is exact
-        st = _make_state2(o, d, lv, sh, ini, S, count_pops)
+        st = _make_state2(o, d, lv, sh, ini, S, count_pops, ray_mask=rm)
         st = _run_state2(bvh, t_min, st, unroll)
         keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
         if count_pops:
@@ -1056,12 +1085,13 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                 sl = slice(c * rc, (c + 1) * rc)
                 ini = {k: v[sl] for k, v in init.items()}
                 outs.append(run_flat(rays.origin[sl], rays.direction[sl],
-                                     live0[sl], shadow[sl], ini))
+                                     live0[sl], shadow[sl], ini,
+                                     None if ray_mask is None else ray_mask[sl]))
             return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
         def chunk_fn(args):
-            o, d, lv, sh, ini = args
-            return run_flat(o, d, lv, sh, ini)
+            o, d, lv, sh, ini, rm = args
+            return run_flat(o, d, lv, sh, ini, rm)
 
         st = jax.lax.map(
             chunk_fn,
@@ -1071,10 +1101,11 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                 live0.reshape(chunks, rc),
                 shadow.reshape(chunks, rc),
                 {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()},
+                None if ray_mask is None else ray_mask.reshape(chunks, rc),
             ),
         )
         return {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
-    return run_flat(rays.origin, rays.direction, live0, shadow, init)
+    return run_flat(rays.origin, rays.direction, live0, shadow, init, ray_mask)
 
 
 def _prime_decompose(bvh: TwoLevelBVH, prime_flat):
@@ -1096,11 +1127,13 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
                sort_rays: bool = True, stream_window: int = 0,
                refill_every: int = 8, prime_tri=None, tri_rows=None,
                chunks: int = 16, unroll: int = 1, sort_hint=None,
-               count_pops: bool = False):
+               count_pops: bool = False, ray_mask=None):
     n_rays = rays.origin.shape[0]
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
     if shadow is None:
         shadow = jnp.zeros((n_rays,), bool)
+    if ray_mask is not None and not bvh.has_masks:
+        ray_mask = None  # all instances default-visible: filter is a no-op
 
     perm = None
     if sort_rays:
@@ -1126,13 +1159,19 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
                 shadow.astype(jnp.float32)[:, None]]
         if prime_tri is not None:
             cols.append(_encode_ids(prime_tri)[:, None])
+        if ray_mask is not None:
+            cols.append(_encode_ids(ray_mask)[:, None])
         pool = jnp.take(jnp.concatenate(cols, axis=1), perm, axis=0)
         rays = Rays(origin=pool[:, 0:3], direction=pool[:, 3:6],
                     max_distance=pool[:, 6])
         live0 = pool[:, 7] > 0.5
         shadow = pool[:, 8] > 0.5
+        col = 9
         if prime_tri is not None:
-            prime_tri = _decode_ids(pool[:, 9])
+            prime_tri = _decode_ids(pool[:, col])
+            col += 1
+        if ray_mask is not None:
+            ray_mask = _decode_ids(pool[:, col])
 
     init = None
     if prime_tri is not None and tri_rows is not None:
@@ -1151,7 +1190,9 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             best_inst=jnp.where(pok, inst, -1),
         )
 
-    if stream_window > 0:
+    if stream_window > 0 and ray_mask is None:
+        # (the stream pool has no ray-mask column; masked scenes take the
+        # chunked path — masks are a correctness feature, not a hot path)
         st = _traverse_stream2(
             bvh, rays, t_min, live0, shadow, init,
             window=stream_window, refill_every=refill_every, dead_last=sort_rays,
@@ -1160,7 +1201,8 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             st["pops"] = jnp.zeros((n_rays,), jnp.int32)
     else:
         st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks,
-                                unroll=unroll, count_pops=count_pops)
+                                unroll=unroll, count_pops=count_pops,
+                                ray_mask=ray_mask)
 
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
@@ -1187,7 +1229,7 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
                 sort_rays: bool = True, stream_window: int = 0,
                 refill_every: int = 8, prime_tri=None, tri_rows=None,
                 chunks: int = 16, unroll: int = 1, sort_hint=None,
-                count_pops: bool = False):
+                count_pops: bool = False, ray_mask=None):
     """Closest hit; returns FLAT triangle ids (instance tri base + local) so
     the shade path is identical to the flattened backend's. stream_window=0
     uses the chunked execution strategy (measured faster once the shift-stack
@@ -1197,7 +1239,7 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
         bvh, rays, t_min, mask, shadow=None, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
         prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks, unroll=unroll,
-        sort_hint=sort_hint, count_pops=count_pops,
+        sort_hint=sort_hint, count_pops=count_pops, ray_mask=ray_mask,
     )
     found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
     flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
@@ -1215,7 +1257,7 @@ def closest_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
 def trace_mixed(bvh: TwoLevelBVH, rays: Rays, shadow, t_min: float = 0.0,
                 mask=None, sort_rays: bool = True, stream_window: int = 0,
                 refill_every: int = 8, chunks: int = 16, unroll: int = 1,
-                sort_hint=None, count_pops: bool = False):
+                sort_hint=None, count_pops: bool = False, ray_mask=None):
     """One traversal over a MIXED batch (wide.trace_mixed's two-level twin):
     lanes with shadow=True run any-hit and retire at first hit, the rest run
     closest-hit. Fuses the wavefront's next-bounce + deferred-shadow
@@ -1226,7 +1268,7 @@ def trace_mixed(bvh: TwoLevelBVH, rays: Rays, shadow, t_min: float = 0.0,
         bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
         chunks=chunks, unroll=unroll, sort_hint=sort_hint,
-        count_pops=count_pops,
+        count_pops=count_pops, ray_mask=ray_mask,
     )
     found = (st["best_tri"] >= 0) & (st["best_inst"] >= 0)
     flat = _to_flat(bvh, st["best_tri"], st["best_inst"])
@@ -1245,13 +1287,13 @@ def any_hit(bvh: TwoLevelBVH, rays: Rays, t_min: float = 0.0, mask=None,
             sort_rays: bool = True, stream_window: int = 0,
             refill_every: int = 8, prime_tri=None, tri_rows=None,
             return_tri: bool = False, chunks: int = 16, unroll: int = 1,
-            sort_hint=None, count_pops: bool = False):
+            sort_hint=None, count_pops: bool = False, ray_mask=None):
     shadow = jnp.ones((rays.origin.shape[0],), bool)
     st = _traverse2(
         bvh, rays, t_min, mask, shadow=shadow, sort_rays=sort_rays,
         stream_window=stream_window, refill_every=refill_every,
         prime_tri=prime_tri, tri_rows=tri_rows, chunks=chunks, unroll=unroll,
-        sort_hint=sort_hint, count_pops=count_pops,
+        sort_hint=sort_hint, count_pops=count_pops, ray_mask=ray_mask,
     )
     out = (st["found"],)
     if return_tri:

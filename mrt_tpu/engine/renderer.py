@@ -562,6 +562,16 @@ class Renderer:
             idx = np.asarray(scene.indices)
         M = transforms[vinst]
         pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
+        nondefault_masks = any(
+            getattr(m, "geometry_mask", T.GEOMETRY_MASK_GEOMETRY) != T.GEOMETRY_MASK_GEOMETRY
+            for m in getattr(self.scene, "models", [])
+        )
+        if nondefault_masks and not (self.two_level and self.traversal_backend == "wide"):
+            raise ValueError(
+                "geometry masks require the two-level traversal backend "
+                "(two_level=True, traversal_backend='wide'); the flat/cluster "
+                "backends have no per-instance mask filtering"
+            )
         if self.traversal_backend == "cluster":
             self.bvh = cl.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
         elif self.two_level and self.traversal_backend == "wide":

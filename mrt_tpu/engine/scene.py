@@ -73,8 +73,12 @@ class Model:
         material_override: ModelMaterialOverride | None = None,
         mesh: MeshData | None = None,
         skin: SkinData | None = None,
+        geometry_mask: int = T.GEOMETRY_MASK_GEOMETRY,
     ):
         self.name = name
+        # instance-descriptor mask bits (ShaderTypes.h:26-33); shadow rays
+        # use RAY_MASK_SHADOW and skip GEOMETRY_MASK_LIGHT-only instances
+        self.geometry_mask = int(geometry_mask)
         self.position = np.asarray(position, np.float32)
         self.rotation = np.asarray(rotation, np.float32)
         self.scale = float(scale)

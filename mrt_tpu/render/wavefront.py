@@ -391,6 +391,17 @@ def trace_tile(
             st["rays"] = st["rays"] + active.astype(jnp.int32)
             rays = T.Rays(st["ray_o"], st["ray_d"], jnp.full((P,), jnp.inf, f32))
             n_chunks = settings.traversal_chunks if P % max(settings.traversal_chunks, 1) == 0 else 1
+            # geometry-mask filtering (Raytracing.metal:317,733-735): closest
+            # rays carry bounce==0 ? RAY_MASK_PRIMARY : RAY_MASK_SECONDARY,
+            # shadow rays RAY_MASK_SHADOW. Compiled in only when some instance
+            # deviates from the default mask (two-level backend).
+            masked = two_level and getattr(bvh, "has_masks", False)
+            rm_closest = rm_shadow = None
+            if masked:
+                rm_closest = jnp.where(
+                    st["bounce"] == 0, T.RAY_MASK_PRIMARY, T.RAY_MASK_SECONDARY
+                ).astype(jnp.int32)
+                rm_shadow = jnp.full((P,), T.RAY_MASK_SHADOW, jnp.int32)
             if fused:
                 # one mixed 2P batch: [next-bounce closest | deferred shadow]
                 batch = T.Rays(
@@ -413,6 +424,8 @@ def trace_tile(
                         refill_every=settings.stream_refill,
                         unroll=settings.traversal_unroll,
                         sort_hint=hint2, count_pops=True,
+                        **({"ray_mask": jnp.concatenate([rm_closest, rm_shadow])}
+                           if masked else {}),
                     )
                     pc = pops2[:P]
                     st["last_pops"] = jnp.where(active, pc, st["last_pops"])
@@ -424,6 +437,8 @@ def trace_tile(
                         chunks=n_chunks2, sort_rays=settings.sort_rays,
                         stream_window=2 * settings.traversal_stream,
                         refill_every=settings.stream_refill, unroll=settings.traversal_unroll,
+                        **({"ray_mask": jnp.concatenate([rm_closest, rm_shadow])}
+                           if masked else {}),
                     )
                 hits = T.Hits(
                     t=hits2.t[:P], triangle=hits2.triangle[:P],
@@ -445,7 +460,7 @@ def trace_tile(
                     prime_tri=(jnp.where(is_cam, st["pp_cur"], -1) if priming else None),
                     tri_rows=(geom.motion_rows if priming else None),
                     sort_hint=(hint_closest if worksort else None),
-                    count_pops=worksort,
+                    count_pops=worksort, ray_mask=rm_closest,
                 )
                 if worksort:
                     hits, pops_c = hits
@@ -853,6 +868,7 @@ def trace_tile(
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
                             sort_hint=(hint_shadow if worksort else None),
+                            ray_mask=rm_shadow,
                         )
                         if priming:
                             st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
@@ -943,6 +959,7 @@ def trace_tile(
                             tri_rows=(geom.motion_rows if priming else None),
                             return_tri=True,
                             sort_hint=(hint_shadow if worksort else None),
+                            ray_mask=rm_shadow,
                         )
                         if priming:
                             st["occ_prime"] = jnp.where(need_shadow, occ_tri, st["occ_prime"])
