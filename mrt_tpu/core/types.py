@@ -232,10 +232,10 @@ class RenderSettings:
     # the chunked mode.
     traversal_stream: int = 0
     stream_refill: int = 8
-    # Traversal engine: "wide" = packed-row wide BVH (gather-bound),
-    # "cluster" = dense cluster-packet tracer (FLOP-bound, zero hot gathers).
+    # Traversal engine: "wide" = packed-row wide BVH. (A dense cluster-packet
+    # tracer and a Pallas packet kernel were built and measured slower on
+    # every scene class — docs/PERF.md; removed in round 3.)
     traversal_backend: str = "wide"
-    cluster_packet: int = 256
     # Fuse each bounce's next-ray (closest-hit) and the previous bounce's
     # shadow rays (any-hit) into ONE mixed traversal call. Round-1 measured
     # it SLOWER (0.88 vs 1.07: pend-flush iteration + longer live ranges),

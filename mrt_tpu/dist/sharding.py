@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..bvh import clusters as cl
 from ..bvh import wide
 from ..core import types as T
 from ..engine import scene as scene_mod
@@ -91,9 +90,7 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
 
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
-        if settings.traversal_backend == "cluster":
-            bvh = cl.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
-        elif settings.two_level and settings.traversal_backend == "wide":
+        if settings.two_level and settings.traversal_backend == "wide":
             from ..bvh import twolevel
 
             bvh = twolevel.refit(bvh, scene.positions_obj, scene.instance_transform)

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bvh import clusters as cl
 from ..bvh import wide
 from ..core import halton as H
 from ..core import types as T
@@ -94,9 +93,7 @@ def _prepare(settings, statics, scene, bvh, skin_bundle=(), joint_matrices=()):
         pos_w, prev_w, nrm_w = scene_mod.world_geometry(scene)
         geom = wf.build_geometry(scene, pos_w, prev_w, nrm_w)
     with jax.named_scope("bvh_refit"):
-        if settings.traversal_backend == "cluster":
-            bvh = cl.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
-        elif settings.two_level and settings.traversal_backend == "wide":
+        if settings.two_level and settings.traversal_backend == "wide":
             # per-frame update touches only skinned BLASes + instance/TLAS
             # rows; static geometry is never re-refit (Renderer.swift:1084-1202)
             from ..bvh import twolevel
@@ -365,7 +362,6 @@ class Renderer:
         self.sort_rays = T.RenderSettings.sort_rays
         self.workload_sort = T.RenderSettings.workload_sort
         self.traversal_backend = T.RenderSettings.traversal_backend
-        self.cluster_packet = T.RenderSettings.cluster_packet
         self.hit_priming = T.RenderSettings.hit_priming
         self.two_level = T.RenderSettings.two_level
         self.traversal_stream = T.RenderSettings.traversal_stream
@@ -507,7 +503,6 @@ class Renderer:
             sort_rays=self.sort_rays,
             workload_sort=self.workload_sort,
             traversal_backend=self.traversal_backend,
-            cluster_packet=self.cluster_packet,
             hit_priming=self.hit_priming,
             two_level=self.two_level,
             traversal_stream=self.traversal_stream,
@@ -572,9 +567,7 @@ class Renderer:
                 "(two_level=True, traversal_backend='wide'); the flat/cluster "
                 "backends have no per-instance mask filtering"
             )
-        if self.traversal_backend == "cluster":
-            self.bvh = cl.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
-        elif self.two_level and self.traversal_backend == "wide":
+        if self.two_level and self.traversal_backend == "wide":
             from ..bvh import twolevel
 
             self.bvh = twolevel.build(

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from ..assets import texture as tex
-from ..bvh import clusters as cl
 from ..bvh import twolevel
 from ..bvh import wide
 from ..core import halton as H
@@ -450,8 +449,6 @@ def trace_tile(
                     (st["pend_mask"] & ~occluded_prev)[:, None], st["pend_contrib"], 0.0
                 )
                 st["pend_mask"] = jnp.zeros((P,), bool)
-            elif settings.traversal_backend == "cluster":
-                hits = cl.closest_hit(bvh, rays, mask=active, packet=settings.cluster_packet)
             elif two_level:
                 hits = twolevel.closest_hit(
                     bvh, rays, mask=active, sort_rays=settings.sort_rays,
@@ -857,9 +854,7 @@ def trace_tile(
                     st["pend_dist"] = shadow_rays.max_distance
                     st["pend_contrib"] = contrib
                 else:
-                    if settings.traversal_backend == "cluster":
-                        occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
-                    elif two_level:
+                    if two_level:
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
                             sort_rays=settings.sort_rays and settings.sort_shadow_rays, stream_window=stream_w2,
@@ -948,9 +943,7 @@ def trace_tile(
                     st["pend_dist"] = shadow_rays.max_distance
                     st["pend_contrib"] = st["color"] * direct
                 else:
-                    if settings.traversal_backend == "cluster":
-                        occluded = cl.any_hit(bvh, shadow_rays, mask=need_shadow, packet=settings.cluster_packet)
-                    elif two_level:
+                    if two_level:
                         occluded, occ_tri = twolevel.any_hit(
                             bvh, shadow_rays, mask=need_shadow,
                             sort_rays=settings.sort_rays and settings.sort_shadow_rays, stream_window=stream_w2,
@@ -1157,40 +1150,8 @@ def trace_tile(
         return (sample_index + 1, total_color, total_samples, had0, depth0, motion0,
                 g0, rays_total, pp, ps, hint)
 
-    # TEMPORARY round-2j poison bisect: truncate the program at a stage
-    # (fresh subprocess per stage; findings ledger:
-    # scripts/poison_bisect/README.md; remove once scripts/poison_probe.py
-    # has run on the device and settled the trigger question)
-    _bisect = os.environ.get("MRT_BISECT_STAGE")
-    if _bisect:
-        def _stub_outputs(color, rays):
-            z1 = jnp.zeros((P,), f32)
-            return TileOutputs(
-                color=color, depth=jnp.full((P,), 1.0e8, f32),
-                motion=jnp.zeros((P, 2), f32), diffuse_albedo=zero3,
-                specular_albedo=zero3, normal=zero3, roughness=z1,
-                rays_traced=rays.astype(jnp.int32),
-                prime_primary=jnp.asarray(prime_primary, jnp.int32),
-                prime_shadow=jnp.asarray(prime_shadow, jnp.int32),
-                step_hint=jnp.asarray(step_hint, jnp.int32),
-            )
-
-        if _bisect == "camrays":
-            ro_b, rd_b = camera_rays(jnp.zeros((P,), jnp.int32))
-            return _stub_outputs(rd_b * 0.5 + 0.5, jnp.zeros((P,), jnp.int32))
-        st0 = init_state(jnp.zeros((P,), jnp.int32), prime_primary,
-                         prime_shadow, jnp.zeros((P,), bool),
-                         jnp.zeros((P, 2), f32))
-        if _bisect == "body1":
-            st = body(st0)
-        elif _bisect == "bodyloop":
-            st = jax.lax.while_loop(cond, body, st0)
-        elif _bisect == "bodyloop_proj":
-            st = jax.lax.while_loop(cond, body, st0)
-            st = project_primary(st)
-        else:
-            raise ValueError(f"unknown MRT_BISECT_STAGE {_bisect}")
-        return _stub_outputs(st["accumulated"], st["rays"])
+    # (the round-2j MRT_BISECT_STAGE stage-truncation hook lived here; removed
+    # after the speculator diagnosis — see docs/PERF.md round 3a and git history)
 
     P3 = jnp.zeros((P, 3), jnp.float32)
     carry0 = (

@@ -239,26 +239,6 @@ def test_native_sah_matches_lbvh_results():
     np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m], rtol=1e-5)
 
 
-def test_pallas_packet_kernel_interpret_matches_brute_force():
-    """The Pallas packet-traversal kernel (kernels/packet_trace.py) must stay
-    correct even though the gather path remains the default (PERF.md)."""
-    from mrt_tpu.bvh import wide
-    from mrt_tpu.kernels import packet_trace
-
-    rng = np.random.default_rng(77)
-    v0, v1, v2 = random_tris(500, rng)
-    w = wide.build(v0, v1, v2, method="lbvh")
-    rays = random_rays(128, rng)
-    mask = jnp.asarray(rng.random(128) > 0.25)
-    got = packet_trace.packet_closest_hit(w, rays, mask=mask, packet=64, interpret=True)
-    want = intersect.brute_force_closest_hit(rays, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2))
-    ml = np.asarray(mask)
-    assert (np.asarray(got.triangle >= 0)[ml] == np.asarray(want.triangle >= 0)[ml]).all()
-    m = np.asarray(want.triangle >= 0) & ml
-    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-5)
-    assert (np.asarray(got.triangle)[~ml] == -1).all()
-
-
 def test_packed_child_sort_contract():
     """_sort_children_packed must (a) return the same VALID-child set as the
     float carry-meta network, (b) order children by quantized-t-then-id

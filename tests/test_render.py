@@ -129,15 +129,3 @@ def test_legacy_shading_differs_from_pbr(small_renderer):
     leg = np.asarray(r.draw())
     r.shading_mode = T.SHADING_MODE_PBR
     assert np.abs(pbr - leg).mean() > 1e-4
-
-
-def test_cluster_backend_matches_wide(small_renderer):
-    r = small_renderer
-    r.traversal_backend = "wide"
-    object.__setattr__(r, "frame_index", 0)
-    a = np.asarray(r.draw())
-    r.traversal_backend = "cluster"
-    b = np.asarray(r.draw())
-    r.traversal_backend = "wide"
-    # identical semantics, tiny float-ordering differences allowed
-    np.testing.assert_allclose(a, b, atol=1e-5)
