@@ -69,3 +69,48 @@ def test_knob_combo_matches_default(combo):
     # knob combos change traversal ORDER/layout, never radiometry; tiny
     # ULP drift is allowed, structural breakage is not
     assert abs(got - base) / base < 1e-3, (combo, base, got)
+
+
+MASK_CHILD = r"""
+import json, sys
+sys.path.insert(0, %r)
+import numpy as np
+from mrt_tpu.core import types as T
+from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+from mrt_tpu.engine.scene import Model, Scene
+
+means = {}
+for key, mask in (("geom", T.GEOMETRY_MASK_GEOMETRY),
+                  ("light", T.GEOMETRY_MASK_LIGHT)):
+    scene = Scene(width=32, height=32)
+    scene.models = [Model("sphere", position=[0, 1.3, 0], scale=0.3,
+                          geometry_mask=mask),
+                    Model("plane", scale=10)]
+    r = Renderer(scene, output_width=32, output_height=32, seed=5)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = 2
+    r.max_bounces = 2
+    r.use_motion_adaptive_sampling = False
+    for _ in range(6):
+        img = np.asarray(r.draw())
+    means[key] = float(img.mean())
+    assert np.isfinite(img).all()
+print(json.dumps(means))
+""" % (REPO,)
+
+
+@pytest.mark.parametrize("combo", [
+    {"MRT_TRANSPOSED": "1"},
+    {"MRT_PASSES": "2", "MRT_PASSCAP": "8"},
+], ids=lambda c: "+".join(f"{k}={v}" for k, v in c.items()))
+def test_geometry_masks_survive_knob_combos(combo):
+    """The TPU queue A/Bs these knobs; the per-lane ray_mask state must ride
+    through the transposed layout and the multipass alive-resort unchanged
+    (a LIGHT-masked occluder stops shadowing under every execution strategy)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", **combo)
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run([sys.executable, "-c", MASK_CHILD], capture_output=True,
+                       text=True, env=env, cwd=REPO, timeout=600)
+    assert p.returncode == 0, f"{combo}: {p.stderr[-500:]}"
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["light"] > out["geom"] * 1.05, (combo, out)
