@@ -50,6 +50,24 @@ def _interp(attr, idx, tri, u, v):
     return u * attr[i1] + v * attr[i2] + (1.0 - u - v) * attr[i0]
 
 
+def _sample_tex(img, u, v):
+    """Bilinear repeat sample with half-pixel centers after UV y-flip
+    (Raytracing.metal:413-421 / the atlas sampler's addressing)."""
+    h, w = img.shape[0], img.shape[1]
+    v = 1.0 - v  # y-flip
+    u -= np.floor(u)
+    v -= np.floor(v)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0, y0 = np.floor(x), np.floor(y)
+    fx, fy = x - x0, y - y0
+    gx0, gx1 = int(x0 % w), int((x0 + 1) % w)
+    gy0, gy1 = int(y0 % h), int((y0 + 1) % h)
+    top = img[gy0, gx0] * (1 - fx) + img[gy0, gx1] * fx
+    bot = img[gy1, gx0] * (1 - fx) + img[gy1, gx1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def _sample_cosine(u):
     phi = 2.0 * np.pi * u[0]
     cos_theta = np.sqrt(u[1])
@@ -85,9 +103,13 @@ def render_oracle(
     env_map=None,  # (He,We,3) or None
     env_intensity=1.0,
     legacy=False,
+    uvs=None,  # (V,2) vertex uvs (needed when tex_base is given)
+    tex_base=None,  # per-resource: None or (Ht,Wt,3) LINEAR base-color image
 ):
-    """One frame, no textures / roughness=1 / metal=0 (untextured OBJ
-    materials); glass branch, environment light, legacy mode supported.
+    """One frame; roughness=1 / metal=0 (untextured OBJ materials) with
+    optional per-resource base-color textures (repeat addressing, half-pixel
+    centers, UV y-flip — Raytracing.metal:399-456 sampling semantics);
+    glass branch, environment light, legacy mode supported.
     Returns (H, W, 3) radiance."""
     v0 = verts_w[indices[:, 0]]
     v1 = verts_w[indices[:, 1]]
@@ -150,7 +172,10 @@ def render_oracle(
                     else:
                         nrm = _normalize(nrm_raw)
                     res = tri_resource[tri]
-                    albedo = base_color[res]
+                    albedo = base_color[res].copy()
+                    if tex_base is not None and tex_base[res] is not None:
+                        uv = _interp(uvs, indices, tri, bu, bv)
+                        albedo = albedo * _sample_tex(tex_base[res], uv[0], uv[1])
 
                     # glass / transparency branch (Raytracing.metal:517-576)
                     op_c = min(max(opacity[res], 0.0), 1.0)

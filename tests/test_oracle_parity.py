@@ -207,3 +207,50 @@ def test_all_light_types_match_oracle():
     )
     rel = I.relative_rmse(got, want)
     assert rel < 0.01, f"all-light-types vs oracle relative RMSE {rel:.4f}"
+
+
+def test_base_color_texture_matches_oracle(tmp_path):
+    """Base-color texture sampling (repeat, half-pixel centers, y-flip,
+    sRGB decode at pack time — Raytracing.metal:399-456): previously
+    validated only by self-consistent tests, never independently."""
+    from PIL import Image
+
+    from mrt_tpu.assets.obj import MaterialDef
+    from mrt_tpu.assets import procedural
+
+    rng_img = np.random.default_rng(3)
+    px = rng_img.integers(30, 255, (8, 8, 3)).astype(np.uint8)
+    path = tmp_path / "tex.png"
+    Image.fromarray(px, "RGB").save(path)
+
+    size = 20
+    floor = procedural.plane(
+        material=MaterialDef(name="t", base_color=(0.9, 0.8, 0.7),
+                             map_base_color=str(path)))
+    scene = Scene(width=size, height=size)
+    scene.models = [
+        Model("s", mesh=procedural.uv_sphere(6, 12), position=[0, 0.5, 0.8], scale=0.4),
+        Model("floor", mesh=floor, position=[0, 0, 0], scale=10),
+    ]
+    r = _small_renderer(scene, size, spp=2, bounces=2)
+    r.use_mipmaps = False  # oracle samples LOD 0
+    got = np.asarray(r.draw())
+
+    data, camera, verts_w, normals_w, lights = _oracle_inputs(r)
+    # per-resource LINEAR base-color images (sRGB-decoded like the packer)
+    srgb = px.astype(np.float64) / 255.0
+    lin = np.where(srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4)
+    flags = np.asarray(data.materials.texture_flags)
+    from mrt_tpu.core import types as T
+
+    tex_base = [lin if (f & T.MATERIAL_TEXTURE_BASECOLOR) else None for f in flags]
+    assert any(t is not None for t in tex_base)
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=2, max_bounces=2, frame_index=0,
+        uvs=np.asarray(data.uvs), tex_base=tex_base,
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"textured base-color vs oracle relative RMSE {rel:.4f}"
