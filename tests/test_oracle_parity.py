@@ -254,3 +254,111 @@ def test_base_color_texture_matches_oracle(tmp_path):
     )
     rel = I.relative_rmse(got, want)
     assert rel < 0.01, f"textured base-color vs oracle relative RMSE {rel:.4f}"
+
+
+def test_skinned_render_matches_oracle():
+    """End-to-end skinned pipeline (LBS -> vertex-pool scatter -> BVH refit ->
+    trace -> shade) against the oracle, with the posed vertices computed BY
+    HAND in this test (plain numpy 4x4s + the naive LBS loop from
+    test_skinning) — nothing shared with the production animation code."""
+    import numpy as np
+
+    from mrt_tpu.assets.procedural import _mesh
+    from mrt_tpu.engine.scene import SkinData
+    from mrt_tpu.skinning import animation as anim
+    from oracle_renderer import render_oracle  # noqa: F811
+    from test_skinning import naive_lbs
+
+    # hand-built "flag": 2x6 vertex strip in the XY plane, bottom at y=0
+    xs = np.array([-0.25, 0.25], np.float32)
+    ys = np.linspace(0.0, 1.0, 6).astype(np.float32)
+    P = np.array([[x, y, 0.0] for y in ys for x in xs], np.float32)
+    quads = []
+    for rrow in range(5):
+        a, b = 2 * rrow, 2 * rrow + 1
+        c, d = 2 * rrow + 2, 2 * rrow + 3
+        quads += [(a, b, d), (a, d, c)]
+    idx = np.asarray(quads, np.int32)
+    mesh = _mesh(P, idx)
+
+    # 2-joint chain: j0 at origin, j1 at (0, 0.5, 0); hard+blended weights
+    rest = np.array([[0, 0, 0], [0, 0.5, 0]], np.float32)
+    ji = np.zeros((P.shape[0], 4), np.int32)
+    jw = np.zeros((P.shape[0], 4), np.float32)
+    for v in range(P.shape[0]):
+        y = P[v, 1]
+        if abs(y - 0.4) < 1e-3 or abs(y - 0.6) < 1e-3:
+            ji[v, :2] = [0, 1]
+            jw[v, :2] = [0.5, 0.5]  # blended band exercises real LBS mixing
+        elif y < 0.5:
+            jw[v, 0] = 1.0
+        else:
+            ji[v, 0] = 1
+            jw[v, 0] = 1.0
+
+    # constant-pose clip: joint1 bent 0.5 rad about Z at every key
+    theta = 0.5
+    q1 = np.array([0, 0, np.sin(theta / 2), np.cos(theta / 2)], np.float32)
+    times = np.array([0.0, 1.0], np.float32)
+    trans = np.zeros((2, 2, 3), np.float32)
+    trans[:, 0] = rest[0]
+    trans[:, 1] = rest[1] - rest[0]  # local offset
+    rots = np.zeros((2, 2, 4), np.float32)
+    rots[:, 0] = [0, 0, 0, 1]
+    rots[:, 1] = q1
+    scales = np.ones((2, 2, 3), np.float32)
+    paths = ["root/joint0", "root/joint0/joint1"]  # matches _attach_swing_rig
+    clip = anim.AnimationClip(joint_paths=paths, times=times,
+                              translations=trans, rotations=rots, scales=scales)
+
+    def T4(v):
+        m = np.eye(4, dtype=np.float64)
+        m[:3, 3] = v
+        return m
+
+    def Rz(a):
+        m = np.eye(4, dtype=np.float64)
+        c, s = np.cos(a), np.sin(a)
+        m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
+        return m
+
+    # expected joint matrices, composed by hand:
+    # global0 = T(rest0) = I; global1 = global0 @ T(off1) @ Rz(theta)
+    # skin_j  = global_j @ T(-rest_j)
+    g0 = T4(rest[0])
+    g1 = g0 @ T4(rest[1] - rest[0]) @ Rz(theta)
+    mats = np.stack([g0 @ T4(-rest[0]), g1 @ T4(-rest[1])])
+    want_pos, want_nrm = naive_lbs(P, mesh.normals, ji, jw, mats)
+
+    size = 20
+    scene = Scene(width=size, height=size)
+    flag = Model("flag", mesh=mesh, position=[0, 0.2, 0.5])
+    flag.skin = SkinData(joint_indices=ji, joint_weights=jw, rest_joints=rest)
+    from mrt_tpu.engine.appscene import _attach_swing_rig  # skeleton builder
+    # build the skeleton exactly like a rigged asset would, then pin the clip
+    _attach_swing_rig(flag)
+    flag.skin.animation = clip
+    scene.models = [flag, Model("plane", position=[0, 0, 0], scale=10)]
+
+    r = _small_renderer(scene, size, spp=2, bounces=2)
+    got = np.asarray(r.draw(1 / 60.0))
+
+    data, camera, _verts, _normals, lights = _oracle_inputs(r)
+    # replace the flag's slice of the world pool with the HAND-POSED verts
+    inst, start, count = r.statics.skin_slices[0]
+    tfm = np.asarray(data.instance_transform)[np.asarray(data.vertex_instance)]
+    pos = np.asarray(data.positions_obj).copy()
+    nrm = np.asarray(data.normals_obj).copy()
+    pos[start : start + count] = want_pos
+    nrm[start : start + count] = want_nrm
+    verts_w = np.einsum("vij,vj->vi", tfm[:, :3, :3], pos) + tfm[:, :3, 3]
+    normals_w = np.einsum("vij,vj->vi", tfm[:, :3, :3], nrm)
+
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=2, max_bounces=2, frame_index=0,
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"skinned e2e vs oracle relative RMSE {rel:.4f}"
