@@ -154,6 +154,13 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh,
     ``use_mipmaps`` forced off — the banded atlas carries LOD-0 texels
     only. With a replicated atlas the caller's mip setting is honored."""
     assert "gp" in mesh.shape, "mesh needs a 'gp' axis"
+    if getattr(statics, "has_masks", False):
+        raise ValueError(
+            "geometry masks require the two-level backend; the gp-sharded "
+            "step runs the flat wide BVH, which has no per-instance mask "
+            "filtering — remove the non-default geometry_mask or render "
+            "single-chip/dp"
+        )
     overrides = dict(geometry_axis="gp", two_level=False, hit_priming=False)
     if banded:
         overrides["use_mipmaps"] = False  # bands sample the packed LOD-0 twin

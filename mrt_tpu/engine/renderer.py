@@ -290,10 +290,15 @@ class FrameStats:
             self._deferred.append(self._pending_rays)
             if len(self._deferred) >= 1024:
                 # bound the live-buffer count for long interactive sessions:
-                # one stack+sum dispatch per 1024 frames, still zero D2H
+                # one stack dispatch per 1024 frames, still zero D2H. Keep the
+                # per-frame counters as a VECTOR (no device jnp.sum): a
+                # device-side total wraps at int32 after ~60 1080p frames
+                # (x64 is never enabled); report() sums exactly on host.
                 import jax.numpy as _jnp
 
-                self._deferred = [_jnp.sum(_jnp.stack(self._deferred))]
+                self._deferred = [
+                    _jnp.concatenate([_jnp.atleast_1d(x) for x in self._deferred])
+                ]
         self._pending_rays = rays_traced
         if self._last is not None:
             dt_ms = (now - self._last) * 1e3
@@ -306,10 +311,14 @@ class FrameStats:
             self._deferred.append(self._pending_rays)
             self._pending_rays = None
         if self._deferred:
-            # collapse to ONE dispatch + ONE D2H (not per-counter int()s)
+            # ONE D2H of the counter vector, then an exact int64 host sum —
+            # a device-side int32 total wraps after ~2^31 rays (~60 frames
+            # at 1080p 2spp; jax x64 is never enabled here)
             import jax.numpy as _jnp
+            import numpy as _np
 
-            self.total_rays += int(_jnp.sum(_jnp.stack(self._deferred)))
+            vec = _jnp.concatenate([_jnp.atleast_1d(x) for x in self._deferred])
+            self.total_rays += int(_np.asarray(vec).astype(_np.int64).sum())
             self._deferred.clear()
         fps = 1000.0 / self.frame_ms if self.frame_ms else 0.0
         mrays = (self.total_rays / max(self.frames - 1, 1)) * fps / 1e6 if fps else 0.0
@@ -426,7 +435,8 @@ class Renderer:
 
     # -- accumulation-reset idiom ----------------------------------------------
     def __setattr__(self, name, value):
-        changed = getattr(self, name, None) is not value
+        old = getattr(self, name, None)
+        changed = old is not value
         object.__setattr__(self, name, value)
         if getattr(self, "_initialized", False):
             if name in _RESET_PROPS:
@@ -437,7 +447,14 @@ class Renderer:
                 # presenter's output-res history — stale history ghosts
                 self._clear_presenter_history()
             if name in ("traversal_backend", "two_level") and changed:
-                self._build_bvh()
+                try:
+                    self._build_bvh()
+                except Exception:
+                    # invalid backend switch (unknown backend, masked scene on
+                    # a mask-less backend): restore the old value so the
+                    # renderer stays consistent (bvh still matches settings)
+                    object.__setattr__(self, name, old)
+                    raise
                 object.__setattr__(self, "frame_index", 0)
                 self._clear_presenter_history()
 
@@ -557,6 +574,12 @@ class Renderer:
             idx = np.asarray(scene.indices)
         M = transforms[vinst]
         pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
+        if self.traversal_backend != "wide":
+            raise ValueError(
+                f"unknown traversal_backend {self.traversal_backend!r}: only "
+                "'wide' exists (the cluster/packet alternates were retired in "
+                "round 3 — docs/PERF.md)"
+            )
         nondefault_masks = any(
             getattr(m, "geometry_mask", T.GEOMETRY_MASK_GEOMETRY) != T.GEOMETRY_MASK_GEOMETRY
             for m in getattr(self.scene, "models", [])

@@ -250,6 +250,10 @@ class SceneStatics:
     any_map: tuple  # len N_MAP_TYPES of bool
     has_refraction: bool  # any material with ior>1.01 or opacity<0.999
     has_environment: bool = False
+    # any instance with a non-default geometry mask (ShaderTypes.h:26-33);
+    # only the two-level backend filters by mask, so mask-less paths must
+    # refuse rather than silently ignore it
+    has_masks: bool = False
     # per skinned model: (model_index, vertex_start, vertex_count); empty tuple
     # when the scene has no skinning (the LBS stage compiles away)
     skin_slices: tuple = ()
@@ -465,6 +469,11 @@ class Scene:
             any_map=tuple(bool(b) for b in has_np.any(axis=0)),
             has_refraction=bool(((mats_ior > 1.01) | (mats_op < 0.999)).any()),
             has_environment=bool(self.env_map.size > 3 or self.env_map.max() > 0),
+            has_masks=any(
+                getattr(m, "geometry_mask", T.GEOMETRY_MASK_GEOMETRY)
+                != T.GEOMETRY_MASK_GEOMETRY
+                for m in self.models
+            ),
             skin_slices=tuple(skin_slices),
         )
         self.skin_bundle = tuple(skin_bundle)

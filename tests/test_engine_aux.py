@@ -103,6 +103,26 @@ def test_frame_stats():
     assert rep["frame_ms"] is None or rep["frame_ms"] > 0
 
 
+def test_frame_stats_no_int32_overflow():
+    """total_rays must stay exact past 2^31: the deferred device counters are
+    int32 (x64 off), so summing them ON DEVICE would wrap after ~60 1080p
+    frames; report() must sum on host in int64."""
+    import jax.numpy as jnp
+
+    from mrt_tpu.engine.renderer import FrameStats
+
+    st = FrameStats()
+    for _ in range(3):
+        st.record(jnp.asarray(2_000_000_000, jnp.int32))
+    rep = st.report()
+    assert rep["total_rays"] == 6_000_000_000
+    # the >=1024 collapse path must also stay exact and mixable with scalars
+    st2 = FrameStats()
+    for _ in range(1025):
+        st2.record(jnp.asarray(2_000_000_000, jnp.int32))
+    assert st2.report()["total_rays"] == 1025 * 2_000_000_000
+
+
 def test_view_presets():
     r = _renderer()
     r.draw()

@@ -100,3 +100,36 @@ def test_masks_require_twolevel_backend():
     r = Renderer(scene, output_width=16, output_height=16)
     with pytest.raises(ValueError, match="two-level"):
         r.two_level = False  # flat backend rebuild must refuse
+    # the failed switch must not corrupt the renderer: old value restored,
+    # bvh still consistent, draw still works
+    assert r.two_level is True
+    img = np.asarray(r.draw())
+    assert np.isfinite(img).all()
+
+
+def test_unknown_backend_rejected_and_state_restored():
+    scene = Scene(width=16, height=16)
+    scene.models = [Model("sphere", position=[0, 0.5, 0], scale=0.5),
+                    Model("plane", scale=10)]
+    r = Renderer(scene, output_width=16, output_height=16)
+    with pytest.raises(ValueError, match="traversal_backend"):
+        r.traversal_backend = "cluster"  # retired backend must not fall
+    assert r.traversal_backend == "wide"  # through to a different engine
+    assert np.isfinite(np.asarray(r.draw())).all()
+
+
+def test_gp_step_refuses_masked_scene():
+    import jax
+    from jax.sharding import Mesh
+
+    from mrt_tpu.core.types import RenderSettings
+    from mrt_tpu.dist.geometry import build_gp_render_step
+
+    scene = Scene(width=16, height=16)
+    scene.models = [Model("sphere", position=[0, 0.5, 0], scale=0.5,
+                          geometry_mask=T.GEOMETRY_MASK_LIGHT),
+                    Model("plane", scale=10)]
+    _, statics = scene.compile()
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("gp",))
+    with pytest.raises(ValueError, match="mask"):
+        build_gp_render_step(RenderSettings(width=16, height=16), statics, mesh)

@@ -36,18 +36,22 @@ def test_draw_returns_before_device_completes():
     r = _renderer()
     jax.block_until_ready(r.draw())  # compile + warm
 
-    dispatch = blocked = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = r.draw()
-        t1 = time.perf_counter()
-        jax.block_until_ready(out)
-        t2 = time.perf_counter()
-        dispatch += t1 - t0
-        blocked += t2 - t1
-    # at least 30% of frame time was still in flight when draw() returned
-    # (generous: on quiet hosts this is >90%)
-    assert blocked > 0.3 * (dispatch + blocked), (
+    # wall-clock ratio: retry to ride out host-load noise (best of 3 rounds)
+    for attempt in range(3):
+        dispatch = blocked = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = r.draw()
+            t1 = time.perf_counter()
+            jax.block_until_ready(out)
+            t2 = time.perf_counter()
+            dispatch += t1 - t0
+            blocked += t2 - t1
+        # at least 30% of frame time was still in flight when draw() returned
+        # (generous: on quiet hosts this is >90%)
+        if blocked > 0.3 * (dispatch + blocked):
+            return
+    raise AssertionError(
         f"draw() appears synchronous: dispatch={dispatch:.3f}s "
         f"in-flight-after-return={blocked:.3f}s"
     )
@@ -59,13 +63,16 @@ def test_two_frames_dispatch_back_to_back():
     r = _renderer()
     jax.block_until_ready(r.draw())
 
-    t0 = time.perf_counter()
-    r.draw()
-    out2 = r.draw()  # dispatched with frame 1 potentially still in flight
-    t_dispatch = time.perf_counter() - t0
-    jax.block_until_ready(out2)
-    t_total = time.perf_counter() - t0
-    assert t_dispatch < 0.7 * t_total, (
+    for attempt in range(3):  # best-of-3: host-load noise must not flake CI
+        t0 = time.perf_counter()
+        r.draw()
+        out2 = r.draw()  # dispatched with frame 1 potentially still in flight
+        t_dispatch = time.perf_counter() - t0
+        jax.block_until_ready(out2)
+        t_total = time.perf_counter() - t0
+        if t_dispatch < 0.7 * t_total:
+            return
+    raise AssertionError(
         f"two dispatches took {t_dispatch:.3f}s of a {t_total:.3f}s span — "
         "no room for device overlap"
     )
