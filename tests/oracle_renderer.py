@@ -105,6 +105,7 @@ def render_oracle(
     legacy=False,
     uvs=None,  # (V,2) vertex uvs (needed when tex_base is given)
     tex_base=None,  # per-resource: None or (Ht,Wt,3) LINEAR base-color image
+    tex_normal=None,  # per-resource: None or (Hn,Wn,3) raw [0,1] normal map
 ):
     """One frame; roughness=1 / metal=0 (untextured OBJ materials) with
     optional per-resource base-color textures (repeat addressing, half-pixel
@@ -176,6 +177,31 @@ def render_oracle(
                     if tex_base is not None and tex_base[res] is not None:
                         uv = _interp(uvs, indices, tri, bu, bv)
                         albedo = albedo * _sample_tex(tex_base[res], uv[0], uv[1])
+
+                    # tangent-basis normal mapping (Raytracing.metal:185-218,
+                    # 492-504): per-triangle uv-gradient tangent, Gram-Schmidt
+                    # against the interpolated normal, TBN-transformed sample
+                    if tex_normal is not None and tex_normal[res] is not None:
+                        i0, i1_, i2_ = indices[tri]
+                        e1 = verts_w[i1_] - verts_w[i0]
+                        e2 = verts_w[i2_] - verts_w[i0]
+                        duv1 = uvs[i1_] - uvs[i0]
+                        duv2 = uvs[i2_] - uvs[i0]
+                        den = duv1[0] * duv2[1] - duv1[1] * duv2[0]
+                        if abs(den) >= 1e-8:
+                            rdet = 1.0 / den
+                            tangent = (e1 * duv2[1] - e2 * duv1[1]) * rdet
+                            bit = (e2 * duv1[0] - e1 * duv2[0]) * rdet
+                            if (np.linalg.norm(tangent) > 1e-8
+                                    and np.linalg.norm(bit) > 1e-8):
+                                uv = _interp(uvs, indices, tri, bu, bv)
+                                world_t = tangent - nrm * np.dot(tangent, nrm)
+                                world_t = _normalize(world_t)
+                                world_b = _normalize(np.cross(nrm, world_t))
+                                nm = _sample_tex(tex_normal[res], uv[0], uv[1]) * 2.0 - 1.0
+                                nrm = _normalize(
+                                    nm[0] * world_t + nm[1] * world_b + nm[2] * nrm
+                                )
 
                     # glass / transparency branch (Raytracing.metal:517-576)
                     op_c = min(max(opacity[res], 0.0), 1.0)

@@ -362,3 +362,51 @@ def test_skinned_render_matches_oracle():
     )
     rel = I.relative_rmse(got, want)
     assert rel < 0.01, f"skinned e2e vs oracle relative RMSE {rel:.4f}"
+
+
+def test_normal_map_matches_oracle(tmp_path):
+    """Tangent-basis normal mapping (Raytracing.metal:185-218,492-504): the
+    uv-gradient tangent, Gram-Schmidt orthonormalization, and TBN transform
+    must match the oracle's scalar reimplementation on a bumpy floor."""
+    from PIL import Image
+
+    from mrt_tpu.assets.obj import MaterialDef
+    from mrt_tpu.assets import procedural
+
+    rng_img = np.random.default_rng(9)
+    nm = np.full((8, 8, 3), 128.0)
+    nm[..., :2] += rng_img.uniform(-80, 80, (8, 8, 2))
+    nm[..., 2] = 255
+    nm8 = np.clip(nm, 0, 255).astype(np.uint8)
+    path = tmp_path / "nmap.png"
+    Image.fromarray(nm8, "RGB").save(path)
+
+    size = 20
+    floor = procedural.plane(
+        material=MaterialDef(name="bumpy", base_color=(0.8, 0.8, 0.8),
+                             map_normal=str(path)))
+    scene = Scene(width=size, height=size)
+    scene.models = [
+        Model("s", mesh=procedural.uv_sphere(6, 12), position=[0, 0.5, 0.8], scale=0.4),
+        Model("floor", mesh=floor, position=[0, 0, 0], scale=10),
+    ]
+    r = _small_renderer(scene, size, spp=2, bounces=2)
+    r.use_mipmaps = False
+    got = np.asarray(r.draw())
+
+    data, camera, verts_w, normals_w, lights = _oracle_inputs(r)
+    from mrt_tpu.core import types as T
+
+    flags = np.asarray(data.materials.texture_flags)
+    lin = nm8.astype(np.float64) / 255.0  # normal maps are linear (not sRGB)
+    tex_normal = [lin if (f & T.MATERIAL_TEXTURE_NORMAL) else None for f in flags]
+    assert any(t is not None for t in tex_normal)
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=2, max_bounces=2, frame_index=0,
+        uvs=np.asarray(data.uvs), tex_normal=tex_normal,
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"normal mapping vs oracle relative RMSE {rel:.4f}"
