@@ -467,7 +467,13 @@ class Scene:
             n_resources=n_res,
             n_lights=int(self.lights.count),
             any_map=tuple(bool(b) for b in has_np.any(axis=0)),
-            has_refraction=bool(((mats_ior > 1.01) | (mats_op < 0.999)).any()),
+            # the glass branch must also compile in when transparency can only
+            # come from an opacity MAP (constant opacity 1.0): the reference
+            # evaluates the sampled opacity per hit (Raytracing.metal:517+)
+            has_refraction=bool(
+                ((mats_ior > 1.01) | (mats_op < 0.999)).any()
+                or has_np.any(axis=0)[tex.MAP_OPACITY]
+            ),
             has_environment=bool(self.env_map.size > 3 or self.env_map.max() > 0),
             has_masks=any(
                 getattr(m, "geometry_mask", T.GEOMETRY_MASK_GEOMETRY)

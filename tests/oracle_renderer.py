@@ -106,6 +106,10 @@ def render_oracle(
     uvs=None,  # (V,2) vertex uvs (needed when tex_base is given)
     tex_base=None,  # per-resource: None or (Ht,Wt,3) LINEAR base-color image
     tex_normal=None,  # per-resource: None or (Hn,Wn,3) raw [0,1] normal map
+    tex_rough=None,  # per-resource: None or (H,W,3); channel 0 = roughness
+    tex_metal=None,  # per-resource: None or (H,W,3); channel 0 = metallic
+    tex_opacity=None,  # per-resource: None or (H,W,3); channel 0 multiplies opacity
+    tex_emission=None,  # per-resource: None or (H,W,3) LINEAR; replaces emission
 ):
     """One frame; roughness=1 / metal=0 (untextured OBJ materials) with
     optional per-resource base-color textures (repeat addressing, half-pixel
@@ -205,6 +209,9 @@ def render_oracle(
 
                     # glass / transparency branch (Raytracing.metal:517-576)
                     op_c = min(max(opacity[res], 0.0), 1.0)
+                    if tex_opacity is not None and tex_opacity[res] is not None:
+                        uv = _interp(uvs, indices, tri, bu, bv)
+                        op_c *= _sample_tex(tex_opacity[res], uv[0], uv[1])[0]
                     ior_c = max(ior[res], 1.0)
                     if op_c < 0.999 or ior_c > 1.01:
                         N = nrm.copy()
@@ -248,7 +255,11 @@ def render_oracle(
                                 tpasses = 0
                         continue
 
-                    acc = acc + color * emission[res]
+                    emis = emission[res]
+                    if tex_emission is not None and tex_emission[res] is not None:
+                        uv = _interp(uvs, indices, tri, bu, bv)
+                        emis = _sample_tex(tex_emission[res], uv[0], uv[1])
+                    acc = acc + color * emis
 
                     # pick 1 of N lights (dim 2 + step*6 + 0)
                     ls = halton_np(i_h, 2 + step * 6 + 0)
@@ -309,9 +320,15 @@ def render_oracle(
                         tpasses = 0
                         continue
 
+                    roughness, metallic = 1.0, 0.0
+                    if tex_rough is not None and tex_rough[res] is not None:
+                        uv = _interp(uvs, indices, tri, bu, bv)
+                        roughness = _sample_tex(tex_rough[res], uv[0], uv[1])[0]
+                    if tex_metal is not None and tex_metal[res] is not None:
+                        uv = _interp(uvs, indices, tri, bu, bv)
+                        metallic = _sample_tex(tex_metal[res], uv[0], uv[1])[0]
                     if np.linalg.norm(lcol) > 1e-4:
-                        # PBR direct (roughness=1, metallic=0 for untextured)
-                        roughness, metallic = 1.0, 0.0
+                        # PBR direct (Raytracing.metal:692-711)
                         pr = min(max(roughness, 0.04), 1.0)
                         alpha = pr * pr
                         F0 = 0.04 + (albedo - 0.04) * metallic
@@ -337,7 +354,7 @@ def render_oracle(
                         if not _any_hit(so, ldir, v0, v1, v2, 0.0, ldist - 1e-3):
                             acc = acc + color * direct
 
-                    color = color * albedo  # *(1-metal)*ao with metal=0, ao=1
+                    color = color * albedo * (1.0 - metallic)  # *ao with ao=1
                     if np.linalg.norm(color) < 0.001:
                         break
 

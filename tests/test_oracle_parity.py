@@ -410,3 +410,74 @@ def test_normal_map_matches_oracle(tmp_path):
     )
     rel = I.relative_rmse(got, want)
     assert rel < 0.01, f"normal mapping vs oracle relative RMSE {rel:.4f}"
+
+
+def test_pbr_and_opacity_maps_match_oracle(tmp_path):
+    """Roughness/metallic/opacity/emission maps through the full shade path
+    (Raytracing.metal:399-456 sampling + :692-748 GGX/throughput + :517-576
+    sampled-opacity glass): GGX at non-default roughness/metallic and the
+    opacity-map-only transparency case had no independent check. Also guards
+    the has_refraction fix (opacity MAP with constant opacity 1.0 must
+    compile the glass branch in)."""
+    from PIL import Image
+
+    from mrt_tpu.assets.obj import MaterialDef
+    from mrt_tpu.assets import procedural
+    from mrt_tpu.core import types as T
+
+    rng_img = np.random.default_rng(21)
+
+    def png(name, arr):
+        pth = tmp_path / name
+        Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8), "RGB").save(pth)
+        return str(pth), np.clip(arr, 0, 255) / 255.0
+
+    rough_p, rough_lin = png("rough.png", rng_img.uniform(40, 250, (8, 8, 3)))
+    metal_p, metal_lin = png("metal.png", np.where(
+        rng_img.random((8, 8, 3)) > 0.5, 230.0, 10.0))
+    op = np.full((8, 8, 3), 255.0)
+    op[::2, ::2] = 150.0  # translucent texels; constant opacity stays 1.0
+    op_p, op_lin = png("op.png", op)
+    emis = np.zeros((8, 8, 3))
+    emis[:4] = [40.0, 220.0, 90.0]
+    emis_p, emis_srgb = png("emis.png", emis)
+    emis_lin = np.where(emis_srgb <= 0.04045, emis_srgb / 12.92,
+                        ((emis_srgb + 0.055) / 1.055) ** 2.4)
+
+    size = 20
+    floor = procedural.plane(material=MaterialDef(
+        name="pbr", base_color=(0.8, 0.75, 0.7),
+        map_roughness=rough_p, map_metallic=metal_p, map_opacity=op_p))
+    glow = procedural.uv_sphere(6, 12, material=MaterialDef(
+        name="glow", base_color=(0.2, 0.2, 0.2), map_emission=emis_p))
+    scene = Scene(width=size, height=size)
+    scene.models = [
+        Model("g", mesh=glow, position=[0, 0.5, 0.6], scale=0.4),
+        Model("floor", mesh=floor, position=[0, 0, 0], scale=10),
+    ]
+    r = _small_renderer(scene, size, spp=2, bounces=2)
+    r.use_mipmaps = False
+    assert r.statics.has_refraction  # opacity MAP alone must enable glass
+    got = np.asarray(r.draw())
+
+    data, camera, verts_w, normals_w, lights = _oracle_inputs(r)
+    flags = np.asarray(data.materials.texture_flags)
+
+    def per_res(bit, img):
+        return [img if (f & bit) else None for f in flags]
+
+    want = render_oracle(
+        size, size, camera, np.asarray(r.offsets), verts_w, normals_w,
+        np.asarray(data.indices), np.asarray(data.tri_resource),
+        np.asarray(data.materials.base_color), np.asarray(data.materials.emission),
+        lights, spp=2, max_bounces=2, frame_index=0,
+        opacity=np.asarray(data.materials.opacity),
+        ior=np.asarray(data.materials.refraction_index),
+        uvs=np.asarray(data.uvs),
+        tex_rough=per_res(T.MATERIAL_TEXTURE_ROUGHNESS, rough_lin),
+        tex_metal=per_res(T.MATERIAL_TEXTURE_METALLIC, metal_lin),
+        tex_opacity=per_res(T.MATERIAL_TEXTURE_OPACITY, op_lin),
+        tex_emission=per_res(T.MATERIAL_TEXTURE_EMISSION, emis_lin),
+    )
+    rel = I.relative_rmse(got, want)
+    assert rel < 0.01, f"pbr/opacity maps vs oracle relative RMSE {rel:.4f}"
