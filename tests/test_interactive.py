@@ -1,0 +1,50 @@
+"""Smoke test of the interactive REPL driver (scripts/interactive.py) — the
+GameViewController analog. Pipes a command script through every control
+class and checks the loop survives and writes frames.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = """\
+orbit 2 1
+zoom -0.5
+preset isometric
+spp 1
+bounces 1
+scale 0.5
+upscaler spatial
+shading legacy
+shading pbr
+debug 1
+debug 0
+light 2.0
+mode tps
+w
+q
+mode world
+accum 0.8
+frames 2
+stats
+save {out}
+quit
+"""
+
+
+def test_repl_control_surface(tmp_path):
+    out = tmp_path / "frame.png"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run(
+        [sys.executable, "scripts/interactive.py", "--cpu", "--size", "32",
+         "--out", str(out)],
+        input=SCRIPT.format(out=out), capture_output=True, text=True,
+        cwd=REPO, timeout=900, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-800:]
+    assert out.exists() and out.stat().st_size > 0
+    assert "frame" in p.stdout  # frames were drawn and written
+    assert "fps" in p.stdout or "frames" in p.stdout  # stats printed
