@@ -26,7 +26,18 @@ import jax as _jax
 # programs are minutes on this stack; cached executables make every later
 # process (tests, bench, driver runs) start warm.
 try:
-    _cache_dir = _os.environ.get("MRT_JAX_CACHE", _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
+    if "MRT_JAX_CACHE" in _os.environ:
+        _cache_dir = _os.environ["MRT_JAX_CACHE"]
+    elif (_os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+        # CPU runs (tests, CI, tunnel-down work) get a MACHINE-LOCAL cache:
+        # XLA:CPU AOT executables bake in the compiling host's CPU features,
+        # and loading one cached by a different machine can SIGILL/segfault
+        # (observed killing the test suite). /tmp scopes the cache to this
+        # host's lifetime; the repo-level .jax_cache stays TPU-only.
+        _cache_dir = "/tmp/mrt_jax_cache_cpu"
+    else:
+        _cache_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

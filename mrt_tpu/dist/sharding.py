@@ -52,7 +52,8 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
 
     Row dimension must be divisible by the dp axis size.
     """
-    if getattr(statics, "has_masks", False) and not settings.two_level:
+    if getattr(statics, "has_masks", False) and not (
+            settings.two_level and settings.traversal_backend == "wide"):
         raise ValueError(
             "geometry masks require two_level=True (the flat wide BVH has "
             "no per-instance mask filtering)"

@@ -278,7 +278,8 @@ class FrameStats:
         self.frames = 0
         self._last = None
         self._pending_rays = None
-        self._deferred = []
+        self._deferred = []  # pending per-frame device scalars
+        self._deferred_vecs = []  # collapsed fixed-shape (1024,) vectors
         self.total_rays = 0
 
     def record(self, rays_traced):
@@ -290,15 +291,15 @@ class FrameStats:
             self._deferred.append(self._pending_rays)
             if len(self._deferred) >= 1024:
                 # bound the live-buffer count for long interactive sessions:
-                # one stack dispatch per 1024 frames, still zero D2H. Keep the
-                # per-frame counters as a VECTOR (no device jnp.sum): a
-                # device-side total wraps at int32 after ~60 1080p frames
-                # (x64 is never enabled); report() sums exactly on host.
+                # one FIXED-SHAPE (1024,) stack per 1024 frames (cached
+                # executable), still zero D2H. Keep the counters as vectors —
+                # no device jnp.sum: a device-side int32 total wraps after
+                # ~60 1080p frames (x64 is never enabled); report() sums
+                # exactly on host in int64.
                 import jax.numpy as _jnp
 
-                self._deferred = [
-                    _jnp.concatenate([_jnp.atleast_1d(x) for x in self._deferred])
-                ]
+                self._deferred_vecs.append(_jnp.stack(self._deferred))
+                self._deferred = []
         self._pending_rays = rays_traced
         if self._last is not None:
             dt_ms = (now - self._last) * 1e3
@@ -310,16 +311,20 @@ class FrameStats:
         if self._pending_rays is not None:
             self._deferred.append(self._pending_rays)
             self._pending_rays = None
-        if self._deferred:
-            # ONE D2H of the counter vector, then an exact int64 host sum —
-            # a device-side int32 total wraps after ~2^31 rays (~60 frames
-            # at 1080p 2spp; jax x64 is never enabled here)
-            import jax.numpy as _jnp
+        if self._deferred or self._deferred_vecs:
+            # D2H the counter vectors, then an exact int64 host sum — a
+            # device-side int32 total wraps after ~2^31 rays (~60 frames at
+            # 1080p 2spp; jax x64 is never enabled here)
             import numpy as _np
 
-            vec = _jnp.concatenate([_jnp.atleast_1d(x) for x in self._deferred])
-            self.total_rays += int(_np.asarray(vec).astype(_np.int64).sum())
+            total = 0
+            for v in self._deferred_vecs:
+                total += int(_np.asarray(v).astype(_np.int64).sum())
+            for x in self._deferred:
+                total += int(_np.asarray(x).astype(_np.int64).sum())
+            self.total_rays += total
             self._deferred.clear()
+            self._deferred_vecs.clear()
         fps = 1000.0 / self.frame_ms if self.frame_ms else 0.0
         mrays = (self.total_rays / max(self.frames - 1, 1)) * fps / 1e6 if fps else 0.0
         return dict(
@@ -554,26 +559,6 @@ class Renderer:
         """Initial world-space BVH topology (host Karras build). Refit runs in
         the jitted step every frame; call this again after large moves
         (rebuild fallback, Renderer.swift:1141-1167)."""
-        scene = self.scene_data
-        # host mirrors from Scene.compile — np.asarray on the SceneData
-        # device arrays would be device->host readbacks, and ONE readback
-        # permanently poisons axon dispatch ~300x (docs/PERF.md round 2j)
-        host = getattr(self.scene, "host_mirror", None)
-        if host is not None:
-            pos = host["positions"]
-            vinst, idx = host["vertex_instance"], host["indices"]
-            # transforms come from the LIVE Model objects, not the compile-
-            # time mirror: rebuild_bvh's whole purpose is repairing tree
-            # quality after large moves, so it must see the CURRENT pose
-            # (host-side numpy — still no D2H)
-            transforms = np.asarray(self.scene.instance_transforms())
-        else:  # dist/test wrappers that hand-build SceneData
-            transforms = np.asarray(scene.instance_transform)
-            pos = np.asarray(scene.positions_obj)
-            vinst = np.asarray(scene.vertex_instance)
-            idx = np.asarray(scene.indices)
-        M = transforms[vinst]
-        pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
         if self.traversal_backend != "wide":
             raise ValueError(
                 f"unknown traversal_backend {self.traversal_backend!r}: only "
@@ -590,15 +575,37 @@ class Renderer:
                 "(two_level=True, traversal_backend='wide'); the flat/cluster "
                 "backends have no per-instance mask filtering"
             )
-        if self.two_level and self.traversal_backend == "wide":
+        scene = self.scene_data
+        # host mirrors from Scene.compile — np.asarray on the SceneData
+        # device arrays would be device->host readbacks, and ONE readback
+        # permanently poisons axon dispatch ~300x (docs/PERF.md round 2j)
+        host = getattr(self.scene, "host_mirror", None)
+        if self.two_level:
             from ..bvh import twolevel
 
             self.bvh = twolevel.build(
                 self.scene.models, self.scene_data, self.statics.skin_slices,
                 host_mirror=host,
             )
-        else:
-            self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
+            return
+        # flat wide path: world-space triangles on host (the two-level path
+        # never needs this per-vertex einsum — keep it off the default rebuild)
+        if host is not None:
+            pos = host["positions"]
+            vinst, idx = host["vertex_instance"], host["indices"]
+            # transforms come from the LIVE Model objects, not the compile-
+            # time mirror: rebuild_bvh's whole purpose is repairing tree
+            # quality after large moves, so it must see the CURRENT pose
+            # (host-side numpy — still no D2H)
+            transforms = np.asarray(self.scene.instance_transforms())
+        else:  # dist/test wrappers that hand-build SceneData
+            transforms = np.asarray(scene.instance_transform)
+            pos = np.asarray(scene.positions_obj)
+            vinst = np.asarray(scene.vertex_instance)
+            idx = np.asarray(scene.indices)
+        M = transforms[vinst]
+        pos_w = np.einsum("vij,vj->vi", M[:, :3, :3], pos) + M[:, :3, 3]
+        self.bvh = wide.build(pos_w[idx[:, 0]], pos_w[idx[:, 1]], pos_w[idx[:, 2]])
 
     def rebuild_bvh(self):
         """Rebuild BVH topology from the CURRENT instance transforms.

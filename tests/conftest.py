@@ -15,6 +15,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Declare CPU via env (not just the config.update below): mrt_tpu/__init__
+# keys the compilation-cache location on it — CPU AOT executables must go to
+# a machine-local cache, not the shared .jax_cache (a cached CPU executable
+# from a different host's feature set segfaults on load), and subprocess
+# tests inherit the choice.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 

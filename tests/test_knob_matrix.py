@@ -49,13 +49,17 @@ COMBOS = [
 ]
 
 
-def _run(env_extra):
+def _run_child(child, env_extra):
     env = dict(os.environ, JAX_PLATFORMS="cpu", **env_extra)
     env.pop("PYTHONPATH", None)
-    p = subprocess.run([sys.executable, "-c", CHILD], capture_output=True,
+    p = subprocess.run([sys.executable, "-c", child], capture_output=True,
                        text=True, env=env, cwd=REPO, timeout=600)
     assert p.returncode == 0, f"{env_extra}: {p.stderr[-500:]}"
-    out = json.loads(p.stdout.strip().splitlines()[-1])
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _run(env_extra):
+    out = _run_child(CHILD, env_extra)
     assert out["finite"], env_extra
     return out["mean"]
 
@@ -107,10 +111,5 @@ def test_geometry_masks_survive_knob_combos(combo):
     """The TPU queue A/Bs these knobs; the per-lane ray_mask state must ride
     through the transposed layout and the multipass alive-resort unchanged
     (a LIGHT-masked occluder stops shadowing under every execution strategy)."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu", **combo)
-    env.pop("PYTHONPATH", None)
-    p = subprocess.run([sys.executable, "-c", MASK_CHILD], capture_output=True,
-                       text=True, env=env, cwd=REPO, timeout=600)
-    assert p.returncode == 0, f"{combo}: {p.stderr[-500:]}"
-    out = json.loads(p.stdout.strip().splitlines()[-1])
+    out = _run_child(MASK_CHILD, combo)
     assert out["light"] > out["geom"] * 1.05, (combo, out)
