@@ -18,6 +18,7 @@ TPU-first redesign notes
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -62,7 +63,9 @@ DEBUG_MODE_EMISSION = 6
 DEBUG_MODE_MOTION = 7
 
 # Compile-time AO gate, default off (ShaderTypes.h:155-157).
-ENABLE_AO = False
+# AO is compile-gated like the reference's function constant (off in the
+# shipped app); MRT_ENABLE_AO=1 compiles the AO-map path in
+ENABLE_AO = _os.environ.get("MRT_ENABLE_AO", "0") == "1"
 
 
 class Camera(NamedTuple):

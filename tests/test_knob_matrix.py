@@ -113,3 +113,57 @@ def test_geometry_masks_survive_knob_combos(combo):
     (a LIGHT-masked occluder stops shadowing under every execution strategy)."""
     out = _run_child(MASK_CHILD, combo)
     assert out["light"] > out["geom"] * 1.05, (combo, out)
+
+
+AO_CHILD = r"""
+import json, sys, tempfile
+sys.path.insert(0, %r)
+import numpy as np
+from PIL import Image
+from mrt_tpu.assets.obj import MaterialDef
+from mrt_tpu.assets.procedural import plane
+from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+from mrt_tpu.engine.scene import Model, Scene
+from mrt_tpu.core import types as T
+
+dark = np.full((4, 4, 3), 40, np.uint8)  # AO = 0.157: strong occlusion
+p = tempfile.mktemp(suffix=".png")
+Image.fromarray(dark, "RGB").save(p)
+
+mat = MaterialDef(name="f", base_color=(0.9, 0.9, 0.9), map_ao=p)
+scene = Scene(width=32, height=32)
+scene.models = [Model("floor", mesh=plane(material=mat), scale=10)]
+r = Renderer(scene, output_width=32, output_height=32, seed=3)
+r.upscaler_mode = UPSCALER_OFF
+r.samples_per_pixel = 1
+r.max_bounces = 1
+r.use_motion_adaptive_sampling = False
+r.apply_view_preset("top")
+# AO debug view (Raytracing.metal:478-480): the sampled AO value when the
+# gate is compiled in, magenta when gated out
+r.debug_texture_mode = T.DEBUG_MODE_AO
+img = np.asarray(r.draw())
+assert np.isfinite(img).all()
+lit = img[img.sum(-1) > 1e-5]
+print(json.dumps(dict(
+    enable_ao=T.ENABLE_AO,
+    r=float(lit[:, 0].mean()), g=float(lit[:, 1].mean()), b=float(lit[:, 2].mean()),
+)))
+""" % (REPO,)
+
+
+def test_ao_map_compile_gate():
+    """AO is compile-gated like the reference's function constant
+    (ShaderTypes.h:155-157): MRT_ENABLE_AO=1 compiles the AO-map path in
+    (debug view shows the sampled value, Raytracing.metal:478-480); gated
+    out, the debug view shows the magenta no-texture sentinel."""
+    off = _run_child(AO_CHILD, {})
+    assert not off["enable_ao"]
+    # magenta sentinel: R ~ B >> G
+    assert off["r"] > 0.9 and off["b"] > 0.9 and off["g"] < 0.1, off
+
+    on = _run_child(AO_CHILD, {"MRT_ENABLE_AO": "1"})
+    assert on["enable_ao"]
+    # grayscale AO value ~0.157 in all channels
+    for c in ("r", "g", "b"):
+        assert abs(on[c] - 40.0 / 255.0) < 0.05, on
