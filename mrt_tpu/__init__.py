@@ -35,6 +35,13 @@ try:
         # (observed killing the test suite). /tmp scopes the cache to this
         # host's lifetime; the repo-level .jax_cache stays TPU-only.
         _cache_dir = "/tmp/mrt_jax_cache_cpu"
+        # ... and cap the CPU ISA: this jaxlib's AVX512/AMX codegen
+        # intermittently segfaults the compile pipeline on some hosts
+        # (see tests/conftest.py). Lazily read at backend init, so setting
+        # it here (before any device op) still takes effect.
+        _fl = _os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_max_isa" not in _fl:
+            _os.environ["XLA_FLAGS"] = (_fl + " --xla_cpu_max_isa=AVX2").strip()
     else:
         _cache_dir = _os.path.join(
             _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")

@@ -13,7 +13,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # This image's jaxlib prefers AVX512/AMX codegen that intermittently
+    # SEGFAULTS the XLA:CPU compile/load pipeline on some hosts (two full
+    # suite runs died mid-compile, round 3). Capping the ISA to AVX2 avoids
+    # the unstable codegen at a small CPU-test speed cost.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Declare CPU via env (not just the config.update below): mrt_tpu/__init__
 # keys the compilation-cache location on it — CPU AOT executables must go to
