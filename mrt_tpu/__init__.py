@@ -26,28 +26,25 @@ import jax as _jax
 # programs are minutes on this stack; cached executables make every later
 # process (tests, bench, driver runs) start warm.
 try:
-    if "MRT_JAX_CACHE" in _os.environ:
-        _cache_dir = _os.environ["MRT_JAX_CACHE"]
-    elif (_os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
-        # CPU runs (tests, CI, tunnel-down work) get a MACHINE-LOCAL cache:
-        # XLA:CPU AOT executables bake in the compiling host's CPU features,
-        # and loading one cached by a different machine can SIGILL/segfault
-        # (observed killing the test suite). /tmp scopes the cache to this
-        # host's lifetime; the repo-level .jax_cache stays TPU-only.
-        _cache_dir = "/tmp/mrt_jax_cache_cpu"
-        # ... and cap the CPU ISA: this jaxlib's AVX512/AMX codegen
-        # intermittently segfaults the compile pipeline on some hosts
-        # (see tests/conftest.py). Lazily read at backend init, so setting
-        # it here (before any device op) still takes effect.
+    if (_os.environ.get("JAX_PLATFORMS") or "").startswith("cpu") \
+            and "MRT_JAX_CACHE" not in _os.environ:
+        # CPU runs get NO persistent cache: this jaxlib's XLA:CPU executable
+        # serialize/deserialize machinery intermittently SEGFAULTS (three
+        # full-suite deaths in round 3 — once reading, once writing, once
+        # compile+loading). The in-process jit cache is unaffected, so a
+        # test run still compiles each program once. The repo-level
+        # .jax_cache stays TPU-only, where the cache is load-bearing.
+        # Also cap the CPU ISA — the AVX512/AMX codegen is suspect in the
+        # pure-compile crash (see tests/conftest.py).
         _fl = _os.environ.get("XLA_FLAGS", "")
         if "xla_cpu_max_isa" not in _fl:
             _os.environ["XLA_FLAGS"] = (_fl + " --xla_cpu_max_isa=AVX2").strip()
     else:
-        _cache_dir = _os.path.join(
-            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache")
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        _cache_dir = _os.environ.get("MRT_JAX_CACHE", _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 except Exception:
     pass
 
