@@ -27,7 +27,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # a machine-local cache, not the shared .jax_cache (a cached CPU executable
 # from a different host's feature set segfaults on load), and subprocess
 # tests inherit the choice.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE (not setdefault): the image's ambient environment exports
+# JAX_PLATFORMS=axon, which would leave the segfaulting CPU persistent
+# cache enabled. The suite is CPU-only by definition.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
