@@ -320,8 +320,12 @@ class FrameStats:
             total = 0
             for v in self._deferred_vecs:
                 total += int(_np.asarray(v).astype(_np.int64).sum())
-            for x in self._deferred:
-                total += int(_np.asarray(x).astype(_np.int64).sum())
+            if self._deferred:
+                # one stacked D2H for the residual scalars, not one each
+                import jax.numpy as _jnp
+
+                tail = _np.asarray(_jnp.stack(self._deferred))
+                total += int(tail.astype(_np.int64).sum())
             self.total_rays += total
             self._deferred.clear()
             self._deferred_vecs.clear()
