@@ -28,17 +28,24 @@ import jax as _jax
 try:
     if (_os.environ.get("JAX_PLATFORMS") or "").startswith("cpu") \
             and "MRT_JAX_CACHE" not in _os.environ:
-        # CPU runs get NO persistent cache: this jaxlib's XLA:CPU executable
-        # serialize/deserialize machinery intermittently SEGFAULTS (three
-        # full-suite deaths in round 3 — once reading, once writing, once
-        # compile+loading). The in-process jit cache is unaffected, so a
-        # test run still compiles each program once. The repo-level
-        # .jax_cache stays TPU-only, where the cache is load-bearing.
-        # Also cap the CPU ISA — the AVX512/AMX codegen is suspect in the
-        # pure-compile crash (see tests/conftest.py).
+        # CPU runs get NO persistent cache: this jaxlib's XLA:CPU stack
+        # intermittently SEGFAULTS (five full-suite deaths across round 3:
+        # cache read, cache write x2, and twice INSIDE
+        # backend_compile_and_load with the cache already disabled — so the
+        # crash is in compile+JIT-load itself, not only cache serde). The
+        # in-process jit cache is unaffected, so a test run still compiles
+        # each program once. The repo-level .jax_cache stays TPU-only,
+        # where the cache is load-bearing.
+        # Mitigations: cap the CPU ISA (AVX512/AMX codegen suspect) and
+        # disable parallel codegen — XLA:CPU splits modules across threads
+        # and installs the JIT-loaded objects concurrently, the classic
+        # race for a compile+load segfault.
         _fl = _os.environ.get("XLA_FLAGS", "")
         if "xla_cpu_max_isa" not in _fl:
-            _os.environ["XLA_FLAGS"] = (_fl + " --xla_cpu_max_isa=AVX2").strip()
+            _fl = (_fl + " --xla_cpu_max_isa=AVX2").strip()
+        if "xla_cpu_parallel_codegen_split_count" not in _fl:
+            _fl = (_fl + " --xla_cpu_parallel_codegen_split_count=1").strip()
+        _os.environ["XLA_FLAGS"] = _fl
     else:
         _cache_dir = _os.environ.get("MRT_JAX_CACHE", _os.path.join(
             _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
