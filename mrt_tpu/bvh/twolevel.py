@@ -46,6 +46,7 @@ from .wide import (
     _decode_ids,
     _encode_ids,
     _mt_leaf,
+    _permute_state_packed,
     _sorted_candidates,
     _sorted_candidates_t,
     _sort_keys_generic,
@@ -999,20 +1000,29 @@ def _multipass2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
             lambda s: _run_state2(bvh, t_min, s, unroll, max_iters=cap), parts)
         return {k: from_chunks(k, v) for k, v in out.items()}
 
+    # MRT_PASSCAP is in traversal STEPS; _run_state2's max_iters counts while
+    # TRIPS of the unrolled body (the round-3d sweep capped at 12 trips = 48
+    # steps with unroll 4 — far beyond the tail; docs/PERF.md round 3e)
+    cap_trips = max(1, pass_cap // max(unroll, 1))
     order_total = None
     for _ in range(passes - 1):
-        st = chunked(st, pass_cap)
+        st = chunked(st, cap_trips)
         alive = st["sp"] > 0
         order = jnp.argsort(~alive, stable=True)  # alive-first, coherence kept
-        st = {k: jnp.take(v, order, axis=_lane_axis(k)) for k, v in st.items()}
+        # ONE wide row gather for the whole state (the per-key formulation
+        # was ~20 narrow takes = the 4.2x round-3d regression)
+        st = _permute_state_packed(st, order, _lane_axis)
         order_total = (order if order_total is None
                        else jnp.take(order_total, order))
     st = chunked(st, 0)
     keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
     if count_pops:
         keys = keys + ("pops",)
-    inv = jnp.argsort(order_total)
-    return {k: jnp.take(st[k], inv, axis=0) for k in keys}
+    # defer the inverse permutation: the caller folds order_total into its
+    # own packed unsort gather (one take instead of two)
+    out = {k: st[k] for k in keys}
+    out["_order"] = order_total
+    return out
 
 
 # Capped-pass occupancy knobs (experiment; env like MRT_TRANSPOSED — promote
@@ -1146,8 +1156,14 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             # lanes cut paid steps 5.3x -> 1.4x (docs/PERF.md round 2g).
             # Coherence stays as the minor key (live key < 2^15; dead
             # sentinel 1<<24 still sorts last).
-            hq = jnp.clip(sort_hint // 2, 0, 63)
-            key = jnp.where(live0, hq * (1 << 15) + key, key)
+            # Banding (see wide._traverse): shadow lanes 0 | hinted 1..63 |
+            # unknown-cost (hint < 0, bounce) 64 — keeps the cheapest
+            # (any-hit shadow) and most expensive (unhinted bounce) lanes of
+            # a mixed batch out of each other's chunks.
+            hq = jnp.clip(sort_hint // 2, 0, 62) + 1
+            band = jnp.where(sort_hint < 0, jnp.int32(64), hq)
+            band = jnp.where(shadow, jnp.int32(0), band)
+            key = jnp.where(live0, band * (1 << 15) + key, key)
         perm = jnp.argsort(key)
         # ONE wide-row permutation gather instead of six narrow ones: XLA
         # gather cost is per ROW, nearly width-independent to 128 f32
@@ -1204,6 +1220,10 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
                                 unroll=unroll, count_pops=count_pops,
                                 ray_mask=ray_mask)
 
+    # multipass resorts fold into the unsort: lane j holds ray perm[order[j]]
+    order = st.pop("_order", None) if isinstance(st, dict) else None
+    if order is not None:
+        perm = order if perm is None else jnp.take(perm, order)
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
         # the scatter formulation at 65k lanes (scripts/microbench_inv.py)

@@ -151,6 +151,50 @@ def _decode_ids(floats: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(floats, jnp.int32) - _ID_BIAS
 
 
+def _permute_state_packed(state, order, lane_axis):
+    """Reorder every lane of a mid-traversal state dict with ONE wide row
+    gather.
+
+    TPU gather cost is per ROW, nearly independent of row width (docs/PERF.md
+    round 3d honest microbench): the per-key formulation of the capped-pass
+    alive-resort was ~20 narrow takes at ~0.47 ms each per 65k-lane resort —
+    the whole 4.2x round-3d multipass regression. Int columns ride the
+    _ID_BIAS bitcast (TPU denormal rule); lane-last 2D state is relaid to
+    rows for the gather and back after."""
+    keys = sorted(state.keys())
+    cols, meta = [], []
+    for k in keys:
+        v = state[k]
+        if lane_axis(k) == 1:
+            v = v.T
+        v2 = v if v.ndim == 2 else v[:, None]
+        if v2.dtype == jnp.float32:
+            enc = v2
+        elif v2.dtype == jnp.bool_:
+            enc = v2.astype(jnp.float32)
+        else:
+            enc = _encode_ids(v2.astype(jnp.int32))
+        meta.append((k, state[k].dtype, state[k].ndim, v2.shape[1]))
+        cols.append(enc)
+    packed = jnp.take(jnp.concatenate(cols, axis=1), order, axis=0)
+    out, off = {}, 0
+    for k, dt, nd, w in meta:
+        sl = packed[:, off: off + w]
+        off += w
+        if dt == jnp.float32:
+            dec = sl
+        elif dt == jnp.bool_:
+            dec = sl > 0.5
+        else:
+            dec = _decode_ids(sl)
+        if nd == 1:
+            dec = dec[:, 0]
+        elif lane_axis(k) == 1:
+            dec = dec.T
+        out[k] = dec
+    return out
+
+
 @jax.tree_util.register_pytree_node_class
 class WideBVH:
     """Pytree with static (aux) n_internal/depth so jitted code can branch on
@@ -771,9 +815,16 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
         if sort_hint is not None:
             # workload-predictive major key (see twolevel._traverse2):
             # group lanes by expected step count so each chunk's while trip
-            # count approaches its mean instead of the global tail
-            hq = jnp.clip(sort_hint // 2, 0, 63)
-            key = jnp.where(live0, hq * (1 << 15) + key, key)
+            # count approaches its mean instead of the global tail.
+            # Banding: shadow (any-hit, early-exit) lanes 0 | hinted lanes
+            # 1..63 by predicted pops | unknown-cost lanes (hint < 0, e.g.
+            # bounce rays) 64 — mixed batches previously collapsed shadow
+            # and bounce lanes into one band, mixing the cheapest and the
+            # most expensive rays inside the same chunks.
+            hq = jnp.clip(sort_hint // 2, 0, 62) + 1
+            band = jnp.where(sort_hint < 0, jnp.int32(64), hq)
+            band = jnp.where(shadow, jnp.int32(0), band)
+            key = jnp.where(live0, band * (1 << 15) + key, key)
         perm = jnp.argsort(key)
         # ONE wide-row permutation gather instead of six narrow ones (XLA
         # gather cost is per ROW, ~width-independent to 128 f32; each 65k-row
@@ -1169,6 +1220,10 @@ def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
     rc = n // chunks
     impl = _traverse_flat_t if TRANSPOSED else _traverse_flat_rows
     m = jnp.ones((n,), bool) if mask is None else mask
+    # MRT_PASSCAP is in traversal STEPS; max_iters counts while TRIPS of the
+    # unrolled body (the round-3d sweep capped at 12 trips = 48 steps with
+    # unroll 4 — far beyond the tail it was meant to cut; docs/PERF.md 3e)
+    cap = max(1, cap // max(unroll, 1))
 
     def to_chunks(k, v):
         if k == "stack" and TRANSPOSED:
@@ -1205,11 +1260,12 @@ def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
     for p in range(passes - 1):
         alive = (st["sp"] > 0) & ~(st["found"] & shadow_c)
         order = jnp.argsort(~alive, stable=True)  # alive-first, order kept
-        st = {k: jnp.take(v, order, axis=lane_axis(k)) for k, v in st.items()}
         pool = jnp.concatenate(
             [rays_c.origin, rays_c.direction, rays_c.max_distance[:, None],
              shadow_c.astype(jnp.float32)[:, None]], axis=1)
-        pool = jnp.take(pool, order, axis=0)
+        # ONE wide row gather for state + ray pool (see _permute_state_packed)
+        st = _permute_state_packed(dict(st, _pool=pool), order, lane_axis)
+        pool = st.pop("_pool")
         rays_c = Rays(pool[:, 0:3], pool[:, 3:6], pool[:, 6])
         shadow_c = pool[:, 7] > 0.5
         order_total = (order if order_total is None
@@ -1235,7 +1291,8 @@ def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
     if count_pops:
         keys = keys + ("pops",)
     inv = jnp.argsort(order_total)
-    return {k: jnp.take(st[k], inv, axis=0) for k in keys}
+    # one packed unsort gather instead of one narrow take per key
+    return _permute_state_packed({k: st[k] for k in keys}, inv, lambda k: 0)
 
 
 def _traverse_stream(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, init,

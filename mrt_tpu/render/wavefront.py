@@ -383,8 +383,11 @@ def trace_tile(
                 # carry a hint in rolling mode (measured slower — see
                 # RenderSettings.workload_sort_rolling)
                 rolling = settings.workload_sort_rolling
+                # -1 = unknown cost -> the traversal sort's band-64 group
+                # (bounce lanes must not share chunks with any-hit shadow
+                # lanes or hinted camera lanes; docs/PERF.md round 3g)
                 hint_closest = (st["last_pops"] if rolling
-                                else jnp.where(is_cam, st["last_pops"], 0))
+                                else jnp.where(is_cam, st["last_pops"], -1))
                 hint_shadow = (st["last_pops"] if rolling
                                else jnp.zeros((P,), jnp.int32))
             st["rays"] = st["rays"] + active.astype(jnp.int32)
@@ -795,10 +798,20 @@ def trace_tile(
                 lit[:, None], st["color"] * emission, 0.0
             )
 
+            # --- five post-glass QMC dims, one (P,) digit loop each. The
+            # "batch into one (5, P) loop" variant was tried and MEASURED
+            # SLOWER on TPU: 4.05-4.07 vs 4.27 Mrays/s quick, reproduced
+            # twice (docs/PERF.md round 3f) — the (5, P) layout adds
+            # relayouts that outweigh the saved loop overhead, and the
+            # separate per-dim loops fuse into their consumers. Keep scalar.
+            _qmc_v5 = [
+                H.halton_base(hidx, _qmc_base(n), H.STEP_MAX_DIGITS)
+                for n in ("light_pick", "area_a", "area_b",
+                          "bounce_x", "bounce_y")]
+
             # --- pick 1 of N lights (Raytracing.metal:587-647) ---------------
             n_lights = statics.n_lights
-            light_sample = H.halton_base(hidx, _qmc_base("light_pick"),
-                                         H.STEP_MAX_DIGITS)
+            light_sample = _qmc_v5[0]
             if settings.light_sampling == "power" and n_lights > 1:
                 # power-proportional pick (beyond-reference): pmf ~ luminance
                 # x (area for area lights); 1/pmf compensation keeps the
@@ -822,9 +835,7 @@ def trace_tile(
                     (light_sample * n_lights).astype(jnp.int32), n_lights - 1
                 )
                 light_weight = f32(n_lights)  # 1-of-N compensation, :647
-            u_area = jnp.stack(
-                [H.halton_base(hidx, _qmc_base("area_a"), H.STEP_MAX_DIGITS),
-                 H.halton_base(hidx, _qmc_base("area_b"), H.STEP_MAX_DIGITS)], -1)
+            u_area = jnp.stack([_qmc_v5[1], _qmc_v5[2]], -1)
             l_dir, l_col, l_dist = S.evaluate_light(scene.lights, light_index, u_area, world_point)
             l_col = l_col * light_weight
 
@@ -994,9 +1005,7 @@ def trace_tile(
                 lit = lit & ~dead
 
             # --- cosine-hemisphere bounce (Raytracing.metal:755-774) ---------
-            u_b = jnp.stack(
-                [H.halton_base(hidx, _qmc_base("bounce_x"), H.STEP_MAX_DIGITS),
-                 H.halton_base(hidx, _qmc_base("bounce_y"), H.STEP_MAX_DIGITS)], -1)
+            u_b = jnp.stack([_qmc_v5[3], _qmc_v5[4]], -1)
             local_dir = S.sample_cosine_hemisphere(u_b)
             bounce_dir = S.align_hemisphere_with_normal(local_dir, shading_nrm)
             st["ray_o"] = jnp.where(lit[:, None], world_point + nrm * 1e-3, st["ray_o"])
