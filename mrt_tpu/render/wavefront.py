@@ -386,8 +386,11 @@ def trace_tile(
                 # -1 = unknown cost -> the traversal sort's band-64 group
                 # (bounce lanes must not share chunks with any-hit shadow
                 # lanes or hinted camera lanes; docs/PERF.md round 3g)
+                # cam_pops, not last_pops: for sample >= 2 camera rays the
+                # lane's LAST traversal was a bounce/shadow one; cam_pops is
+                # the same pixel's sample-1 camera count (init: frame hint)
                 hint_closest = (st["last_pops"] if rolling
-                                else jnp.where(is_cam, st["last_pops"], -1))
+                                else jnp.where(is_cam, st["cam_pops"], -1))
                 hint_shadow = (st["last_pops"] if rolling
                                else jnp.zeros((P,), jnp.int32))
             st["rays"] = st["rays"] + active.astype(jnp.int32)
