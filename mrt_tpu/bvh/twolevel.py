@@ -1156,12 +1156,14 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             # lanes cut paid steps 5.3x -> 1.4x (docs/PERF.md round 2g).
             # Coherence stays as the minor key (live key < 2^15; dead
             # sentinel 1<<24 still sorts last).
-            # Banding (see wide._traverse): shadow lanes 0 | hinted 1..63 |
-            # unknown-cost (hint < 0, bounce) 64 — keeps the cheapest
+            # Banding (see wide._traverse): shadow lanes 0 | hinted lanes
+            # 1 + hint (FINE: 1 step per band — offline paid-step simulation
+            # matched the oracle at this granularity, docs/PERF.md round 4a)
+            # | unknown-cost (hint < 0, bounce) 127 — keeps the cheapest
             # (any-hit shadow) and most expensive (unhinted bounce) lanes of
             # a mixed batch out of each other's chunks.
-            hq = jnp.clip(sort_hint // 2, 0, 62) + 1
-            band = jnp.where(sort_hint < 0, jnp.int32(64), hq)
+            hq = jnp.clip(sort_hint, 0, 125) + 1
+            band = jnp.where(sort_hint < 0, jnp.int32(127), hq)
             band = jnp.where(shadow, jnp.int32(0), band)
             key = jnp.where(live0, band * (1 << 15) + key, key)
         perm = jnp.argsort(key)

@@ -817,12 +817,13 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
             # group lanes by expected step count so each chunk's while trip
             # count approaches its mean instead of the global tail.
             # Banding: shadow (any-hit, early-exit) lanes 0 | hinted lanes
-            # 1..63 by predicted pops | unknown-cost lanes (hint < 0, e.g.
-            # bounce rays) 64 — mixed batches previously collapsed shadow
-            # and bounce lanes into one band, mixing the cheapest and the
-            # most expensive rays inside the same chunks.
-            hq = jnp.clip(sort_hint // 2, 0, 62) + 1
-            band = jnp.where(sort_hint < 0, jnp.int32(64), hq)
+            # 1 + hint (FINE granularity — matches the paid-step oracle in
+            # the offline simulation, docs/PERF.md round 4a) | unknown-cost
+            # lanes (hint < 0, e.g. bounce rays) 127 — mixed batches
+            # previously collapsed shadow and bounce lanes into one band,
+            # mixing the cheapest and the most expensive rays.
+            hq = jnp.clip(sort_hint, 0, 125) + 1
+            band = jnp.where(sort_hint < 0, jnp.int32(127), hq)
             band = jnp.where(shadow, jnp.int32(0), band)
             key = jnp.where(live0, band * (1 << 15) + key, key)
         perm = jnp.argsort(key)

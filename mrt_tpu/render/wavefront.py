@@ -383,7 +383,7 @@ def trace_tile(
                 # carry a hint in rolling mode (measured slower — see
                 # RenderSettings.workload_sort_rolling)
                 rolling = settings.workload_sort_rolling
-                # -1 = unknown cost -> the traversal sort's band-64 group
+                # -1 = unknown cost -> the traversal sort's top band
                 # (bounce lanes must not share chunks with any-hit shadow
                 # lanes or hinted camera lanes; docs/PERF.md round 3g)
                 # cam_pops, not last_pops: for sample >= 2 camera rays the
