@@ -975,9 +975,21 @@ def _run_state2(bvh, t_min, st, unroll: int, max_iters: int = 0):
     return jax.lax.while_loop(lambda s: jnp.any(s["sp"] > 0), stepped, st)
 
 
-def _multipass2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
-                count_pops, passes, pass_cap, S, ray_mask=None):
-    """Capped-pass + alive-resort execution (see _traverse_chunked2)."""
+def _tailcont2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
+               count_pops, tail_cap, S, ray_mask=None, cont_k=4096):
+    """Capped chunked pass + DENSE tail continuation (docs/PERF.md round 4b).
+
+    A chunk's while loop pays its MAX lane's steps; the measured step
+    distribution has p50 ~6, p99 ~21-24, max ~60-90 — a 0.1% tail of grazing
+    rays sets nearly every chunk's trip count (paid/used ~6x on bounce
+    batches). Since bounce-ray cost is unpredictable at sort time (offline
+    study, round 4a), the tail is cut by EXECUTION instead: pass 1 is the
+    production chunked map capped at ``tail_cap`` traversal steps, then the
+    few surviving lanes are finished in ``cont_k``-lane dense batches — one
+    small uncapped while program per round, selected by a cumsum compaction.
+    Unlike the dead capped-pass+alive-resort design (rounds 3e/3g) there is
+    no second chunked lax.map and no full-batch state resort; simulated paid
+    steps drop 6.0x -> ~2.4-2.7x on mixed batches at tail_cap=16."""
     n_rays = rays.origin.shape[0]
     rc = n_rays // chunks
     st = _make_state2(rays.origin, rays.direction, live0, shadow, init, S,
@@ -994,60 +1006,51 @@ def _multipass2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
             return jnp.moveaxis(v, 0, 1).reshape(v.shape[1], n_rays)
         return v.reshape((n_rays,) + v.shape[2:])
 
-    def chunked(state, cap):
-        parts = {k: to_chunks(k, v) for k, v in state.items()}
-        out = jax.lax.map(
-            lambda s: _run_state2(bvh, t_min, s, unroll, max_iters=cap), parts)
-        return {k: from_chunks(k, v) for k, v in out.items()}
+    # the cap is in traversal STEPS; _run_state2's max_iters counts while
+    # TRIPS of the unrolled body (docs/PERF.md round 3e)
+    cap_trips = max(1, tail_cap // max(unroll, 1))
+    parts = {k: to_chunks(k, v) for k, v in st.items()}
+    out = jax.lax.map(
+        lambda s: _run_state2(bvh, t_min, s, unroll, max_iters=cap_trips),
+        parts)
+    st = {k: from_chunks(k, v) for k, v in out.items()}
 
-    # MRT_PASSCAP is in traversal STEPS; _run_state2's max_iters counts while
-    # TRIPS of the unrolled body (the round-3d sweep capped at 12 trips = 48
-    # steps with unroll 4 — far beyond the tail; docs/PERF.md round 3e)
-    cap_trips = max(1, pass_cap // max(unroll, 1))
-    order_total = None
-    for _ in range(passes - 1):
-        st = chunked(st, cap_trips)
-        alive = st["sp"] > 0
-        order = jnp.argsort(~alive, stable=True)  # alive-first, coherence kept
-        # ONE wide row gather for the whole state (the per-key formulation
-        # was ~20 narrow takes = the 4.2x round-3d regression)
-        st = _permute_state_packed(st, order, _lane_axis)
-        order_total = (order if order_total is None
-                       else jnp.take(order_total, order))
-    st = chunked(st, 0)
+    K = min(cont_k, n_rays)
+
+    def cont_cond(s):
+        return jnp.any(s["sp"] > 0)
+
+    def cont_body(s):
+        alive = s["sp"] > 0
+        # first-K alive lane ids via cumsum compaction (cheaper than top_k);
+        # unfilled slots fall back to lane 0 — if it is alive it is also
+        # slot 0, and duplicate rows run identically and scatter identical
+        # values; if dead, its sub-lanes are no-ops
+        rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        sel = alive & (rank < K)
+        slot = jnp.where(sel, rank, K)
+        idx = jnp.zeros((K + 1,), jnp.int32).at[slot].set(
+            jnp.arange(n_rays, dtype=jnp.int32), mode="drop")[:K]
+        sub = _permute_state_packed(s, idx, _lane_axis)
+        sub = _run_state2(bvh, t_min, sub, unroll)
+        return _scatter_state_packed(s, sub, idx, _lane_axis)
+
+    st = jax.lax.while_loop(cont_cond, cont_body, st)
     keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
     if count_pops:
         keys = keys + ("pops",)
-    # defer the inverse permutation: the caller folds order_total into its
-    # own packed unsort gather (one take instead of two)
-    out = {k: st[k] for k in keys}
-    out["_order"] = order_total
-    return out
-
-
-# Capped-pass occupancy knobs (experiment; env like MRT_TRANSPOSED — promote
-# to RenderSettings if the honest A/B wins): MRT_PASSES=2 MRT_PASSCAP=12.
-import os as _os
-
-_PASSES = int(_os.environ.get("MRT_PASSES", "1"))
-_PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
+    return {k: st[k] for k in keys}
 
 
 def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                        chunks: int, unroll: int = 1, count_pops: bool = False,
-                       passes: int = _PASSES, pass_cap: int = _PASS_CAP,
-                       ray_mask=None):
+                       tail_cap: int = 0, ray_mask=None):
     """Chunked two-level traversal (wide._traverse's execution strategy with
     the two-level step): the coherence-sorted batch is split into independent
     while_loops so all-dead chunks exit immediately.
 
-    ``passes > 1``: capped-pass occupancy recovery — pass 1 runs each chunk
-    for at most ``pass_cap`` while trips (x unroll steps), then lanes are
-    re-sorted alive-first (one state permutation) and the dense survivors
-    finish in pass 2 (dead chunks exit at their first cond check). A chunk
-    pays its MAX lane's steps, so the long tail (p99 ~3-6x the mean, measured
-    5.7x paid/used on primary rays) is paid only by the ~10-20% of lanes
-    still alive after the cap instead of by every lane."""
+    ``tail_cap > 0``: cap each chunk at that many traversal steps and finish
+    the surviving tail lanes in dense continuation batches (_tailcont2)."""
     n_rays = rays.origin.shape[0]
     f32 = jnp.float32
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
@@ -1063,12 +1066,11 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     S = _stack_alloc(bvh.stack_bound,
                      bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
 
-    if passes > 1 and chunks > 1 and n_rays % chunks == 0:
+    if tail_cap > 0 and chunks > 1 and n_rays % chunks == 0:
         init = dict(init, best_t=jnp.minimum(
             init["best_t"], jnp.asarray(rays.max_distance, f32)))
-        return _multipass2(bvh, rays, t_min, live0, shadow, init, chunks,
-                           unroll, count_pops, passes, pass_cap, S,
-                           ray_mask=ray_mask)
+        return _tailcont2(bvh, rays, t_min, live0, shadow, init, chunks,
+                          unroll, count_pops, tail_cap, S, ray_mask=ray_mask)
 
     def run_flat(o, d, lv, sh, ini, rm=None):
         # sp==0 lanes make the step a no-op, so checking the cross-lane
