@@ -56,8 +56,6 @@ def build_renderer(width, height, dragon_subdivisions=None):
         r.tile_program_loop = os.environ["MRT_TILELOOP"] == "1"
     if os.environ.get("MRT_WORKSORT"):
         r.workload_sort = os.environ["MRT_WORKSORT"] == "1"
-    if os.environ.get("MRT_DONATE"):
-        r.table_donate = os.environ["MRT_DONATE"] == "1"
     if os.environ.get("MRT_VMEMSHADE"):
         r.vmem_shade_tables = os.environ["MRT_VMEMSHADE"] == "1"
     if os.environ.get("MRT_FUSE"):

@@ -36,29 +36,33 @@ from ..core.types import GEOMETRY_MASK_GEOMETRY, Hits, Rays
 from . import lbvh
 from .wide import (
     ARITY,
-    CHUNK_UNROLL,
     IDS_OFF,
     LEAF_K,
     META_OFF,
     ROW,
-    TRANSPOSED,
     _aabb_children,
     _decode_ids,
     _encode_ids,
     _mt_leaf,
     _permute_state_packed,
+    _scatter_state_packed,
     _sorted_candidates,
-    _sorted_candidates_t,
     _sort_keys_generic,
     _stack_alloc,
     _stack_pop,
-    _stack_pop_t,
     _stack_push_sorted,
-    _stack_push_sorted_t,
     _stack_size,
     build_topology_wide,
     exact_stack_bound,
 )
+
+# Tail-continuation knob (docs/PERF.md round 4b): cap each chunk's while
+# loop at MRT_TAILCAP traversal steps, then finish survivors in dense
+# 4096-lane continuation batches (_tailcont2). 0 = off (single uncapped
+# pass, the production default until a TPU A/B says otherwise).
+import os as _os
+
+TAIL_CAP = int(_os.environ.get("MRT_TAILCAP", "0"))
 
 # instance-row layout (floats)
 _I_MINV = 0  # 12: rows of the 3x4 world->object affine
@@ -649,116 +653,6 @@ def _step2(bvh: TwoLevelBVH, t_min, st):
     return st
 
 
-def _slab_world_t(rowT, wo, wd, t_cap):
-    """_slab_world on transposed operands: rowT (ROW, R), wo/wd (3, R)."""
-    inv = 1.0 / jnp.where(jnp.abs(wd) < 1e-12, jnp.where(wd < 0, -1e-12, 1e-12), wd)
-    bmin = rowT[_I_WBMIN : _I_WBMIN + 3]
-    bmax = rowT[_I_WBMAX : _I_WBMAX + 3]
-    t0 = (bmin - wo) * inv
-    t1 = (bmax - wo) * inv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=0)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=0)
-    return (tn <= tf) & (tf >= 0.0) & (tn <= t_cap)
-
-
-def _minv_apply_t(minvT, p, is_dir: bool):
-    """_minv_apply on transposed operands: minvT (12, R), p (3, R)."""
-    x = jnp.sum(minvT[0:3] * p, axis=0)
-    y = jnp.sum(minvT[4:7] * p, axis=0)
-    z = jnp.sum(minvT[8:11] * p, axis=0)
-    if not is_dir:
-        x = x + minvT[3]
-        y = y + minvT[7]
-        z = z + minvT[11]
-    return jnp.stack([x, y, z], axis=0)
-
-
-def _step2_t(bvh: TwoLevelBVH, t_min, st):
-    """Transposed-layout twin of _step2 (see wide.TRANSPOSED): stack (S, R),
-    ray vectors (3, R), child/leaf arrays (ARITY/LEAF_K, R). Same expression
-    graph; hit ids/found match _step2 exactly, t/u/v to ~1 ULP."""
-    active = st["sp"] > 0
-    if "pops" in st:
-        st["pops"] = st["pops"] + active.astype(jnp.int32)
-    sp = st["sp"]
-    top, stack0 = _stack_pop_t(st["stack"], active)
-    entry = jnp.where(active, top, 0)
-    sp = jnp.where(active, sp - 1, sp)
-
-    row = jnp.take(bvh.table, entry, axis=0)
-    rowT = row.T  # one relayout; every op below runs at full lane width
-    inst_base = bvh.n_internal + bvh.n_leaf
-    is_inst = entry >= inst_base
-    is_leaf = (entry >= bvh.n_internal) & ~is_inst
-    is_tlas = entry < bvh.tlas_n
-    t_cap = st["best_t"]
-
-    # --- instance rows --------------------------------------------------
-    lane_inst = active & is_inst
-    inst_hit = _slab_world_t(rowT, st["wo"], st["wd"], t_cap) & lane_inst
-    if "ray_mask" in st:
-        imask = _decode_ids(rowT[_I_MASK])
-        inst_hit = inst_hit & ((imask & st["ray_mask"]) != 0)
-    new_o = _minv_apply_t(rowT[_I_MINV : _I_MINV + 12], st["wo"], is_dir=False)
-    new_d = _minv_apply_t(rowT[_I_MINV : _I_MINV + 12], st["wd"], is_dir=True)
-    st["o"] = jnp.where(inst_hit[None, :], new_o, st["o"])
-    st["d"] = jnp.where(inst_hit[None, :], new_d, st["d"])
-    st["cur_inst"] = jnp.where(inst_hit, _decode_ids(rowT[_I_ID]), st["cur_inst"])
-    blas_root = _decode_ids(rowT[_I_ROOT])
-
-    # --- current regs (BLAS rows) vs world regs (TLAS rows) -------------
-    o_sel = jnp.where(is_tlas[None, :], st["wo"], st["o"])
-    d_sel = jnp.where(is_tlas[None, :], st["wd"], st["d"])
-    ox, oy, oz = o_sel[0][None, :], o_sel[1][None, :], o_sel[2][None, :]
-    dx, dy, dz = d_sel[0][None, :], d_sel[1][None, :], d_sel[2][None, :]
-    inv = 1.0 / jnp.where(
-        jnp.abs(d_sel) < 1e-12, jnp.where(d_sel < 0, -1e-12, 1e-12), d_sel
-    )
-    ix, iy, iz = inv[0][None, :], inv[1][None, :], inv[2][None, :]
-
-    # --- leaf rows: LEAF_K-wide MT ---------------------------------------
-    l_hit, l_t, l_u, l_v = _mt_leaf(rowT, ox, oy, oz, dx, dy, dz, t_min,
-                                    t_cap[None, :], T=True)
-    lane_leaf = active & is_leaf
-    l_t_m = jnp.where(l_hit, l_t, jnp.inf)
-    jbest = jnp.argmin(l_t_m, axis=0)
-    ohK = jnp.arange(LEAF_K, dtype=jnp.int32)[:, None] == jbest[None, :]
-    cand_t = jnp.sum(jnp.where(ohK, l_t_m, 0.0), axis=0)
-    cand_any = jnp.any(l_hit, axis=0)
-    idsK = _decode_ids(rowT[IDS_OFF : IDS_OFF + LEAF_K])
-    cand_tri = jnp.sum(jnp.where(ohK, idsK, 0), axis=0)
-    cand_u = jnp.sum(jnp.where(ohK, l_u, 0.0), axis=0)
-    cand_v = jnp.sum(jnp.where(ohK, l_v, 0.0), axis=0)
-    take = lane_leaf & cand_any & (cand_t < st["best_t"])
-    st["best_t"] = jnp.where(take, cand_t, st["best_t"])
-    st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
-    st["best_inst"] = jnp.where(take, st["cur_inst"], st["best_inst"])
-    st["best_u"] = jnp.where(take, cand_u, st["best_u"])
-    st["best_v"] = jnp.where(take, cand_v, st["best_v"])
-    st["found"] = st["found"] | (lane_leaf & cand_any)
-    sp = jnp.where(st["found"] & st["shadow"], 0, sp)
-
-    # --- internal rows: ARITY child slab tests + ordered push ------------
-    a_hit, a_t = _aabb_children(rowT, ox, oy, oz, ix, iy, iz, t_cap[None, :],
-                                T=True)
-    meta = _decode_ids(rowT[META_OFF : META_OFF + ARITY])
-    tA = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-    cands, valid = _sorted_candidates_t(tA, meta, bvh.table.shape[0])
-
-    lane_int = active & ~is_leaf & ~is_inst
-    lane_iota = jnp.arange(ARITY, dtype=jnp.int32)[:, None]
-    cands = jnp.where(
-        (inst_hit[None, :]) & (lane_iota == 0), blas_root[None, :], cands
-    )
-    n_push = jnp.where(
-        lane_int, jnp.sum(valid.astype(jnp.int32), axis=0),
-        jnp.where(inst_hit, 1, 0),
-    )
-    st["stack"] = _stack_push_sorted_t(stack0, cands, n_push)
-    st["sp"] = jnp.minimum(sp + n_push, st["stack"].shape[0])
-    return st
-
-
 def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                       window: int, refill_every: int, dead_last: bool):
     n_rays = rays.origin.shape[0]
@@ -919,25 +813,20 @@ def _traverse_stream2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
     )
 
 
-# 2D state arrays and their LANE axis per layout: row layout puts lanes
-# first; transposed layout (wide.TRANSPOSED) puts lanes last
+# 2D state arrays (lanes first)
 _STATE_2D = ("stack", "wo", "wd", "o", "d")
 
 
 def _lane_axis(key: str) -> int:
-    return (1 if TRANSPOSED else 0) if key in _STATE_2D else 0
+    return 0
 
 
 def _make_state2(o, d, lv, sh, ini, S, count_pops, ray_mask=None):
-    """Full per-lane two-level traversal state (layout per TRANSPOSED)."""
+    """Full per-lane two-level traversal state."""
     w = o.shape[0]
     sp0 = jnp.where(lv & ~(ini["found"] & sh), 1, 0).astype(jnp.int32)
-    if TRANSPOSED:
-        st = dict(wo=o.T, wd=d.T, o=o.T, d=d.T,
-                  stack=jnp.zeros((S, w), jnp.int32))
-    else:
-        st = dict(wo=o, wd=d, o=o, d=d,
-                  stack=jnp.zeros((w, S), jnp.int32))
+    st = dict(wo=o, wd=d, o=o, d=d,
+              stack=jnp.zeros((w, S), jnp.int32))
     st.update(
         cur_inst=jnp.full((w,), -1, jnp.int32),
         sp=sp0,
@@ -956,7 +845,7 @@ def _make_state2(o, d, lv, sh, ini, S, count_pops, ray_mask=None):
 def _run_state2(bvh, t_min, st, unroll: int, max_iters: int = 0):
     """Run the two-level step loop over a state dict; ``max_iters`` > 0 caps
     the while trips (capped pass 1); 0 runs to completion."""
-    step_fn = _step2_t if TRANSPOSED else _step2
+    step_fn = _step2
 
     def stepped(s):
         for _ in range(unroll):
@@ -1086,21 +975,6 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                                          jnp.asarray(rays.max_distance, f32)))
     if chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
-        if CHUNK_UNROLL:
-            # Static Python loop over chunks: each chunk's while_loop reads a
-            # STATIC slice of the batch, so there is no per-iteration
-            # dynamic-slice / dynamic-update-slice machinery. Under lax.map
-            # that machinery measured ~as expensive as the traversal stepping
-            # itself (~0.9 ms per 8-chunk call, docs/PERF.md round 2d).
-            outs = []
-            for c in range(chunks):
-                sl = slice(c * rc, (c + 1) * rc)
-                ini = {k: v[sl] for k, v in init.items()}
-                outs.append(run_flat(rays.origin[sl], rays.direction[sl],
-                                     live0[sl], shadow[sl], ini,
-                                     None if ray_mask is None else ray_mask[sl]))
-            return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
-
         def chunk_fn(args):
             o, d, lv, sh, ini, rm = args
             return run_flat(o, d, lv, sh, ini, rm)
@@ -1222,12 +1096,8 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
     else:
         st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks,
                                 unroll=unroll, count_pops=count_pops,
-                                ray_mask=ray_mask)
+                                tail_cap=TAIL_CAP, ray_mask=ray_mask)
 
-    # multipass resorts fold into the unsort: lane j holds ray perm[order[j]]
-    order = st.pop("_order", None) if isinstance(st, dict) else None
-    if order is not None:
-        perm = order if perm is None else jnp.take(perm, order)
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
         # the scatter formulation at 65k lanes (scripts/microbench_inv.py)

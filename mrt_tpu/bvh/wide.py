@@ -52,22 +52,12 @@ import os as _os
 
 ARITY = int(_os.environ.get("MRT_ARITY", "8"))
 LEAF_K = int(_os.environ.get("MRT_LEAF_K", "12"))
-# Unroll the chunk loop at trace time (a static Python loop over chunk
-# slices) instead of lax.map: kills the per-iteration dynamic-slice /
-# dynamic-update-slice machinery, which measured ~as expensive as the
-# traversal stepping itself (docs/PERF.md round 2d).
-CHUNK_UNROLL = _os.environ.get("MRT_CHUNK_UNROLL", "0") == "1"
-# Transposed traversal state: (ARITY, R)/(LEAF_K, R)/(S, R) instead of
-# (R, ARITY)/(R, LEAF_K)/(R, S). XLA:TPU maps the MINOR dim to the 128
-# vector lanes, so the row-major layout runs the child sort network, box
-# tests, MT tests, and stack shifts at ARITY/128 ~= 6% lane utilization —
-# the round-2i xplane profile's "tiny column fusion" band (~17% of the
-# frame). Transposed, rays fill the lanes and children/stack live in
-# sublanes; one (R, ROW) -> (ROW, R) relayout per step buys full-width
-# VPU ops and contiguous row slices for the sort comparators. Same
-# expression graph; results match to ~1 ULP (XLA forms FMAs differently
-# per layout), with identical hit triangles/found flags.
-TRANSPOSED = _os.environ.get("MRT_TRANSPOSED", "0") == "1"
+# Round-3 on-device A/Bs retired the layout/codegen parity knobs
+# (docs/PERF.md round 3d): MRT_CHUNK_UNROLL (static chunk loop — strictly
+# worse than lax.map on TPU), MRT_TRANSPOSED (lane-major state — parity;
+# XLA already lanes the per-child math), MRT_DONATE and MRT_FUSE_FINISH
+# (parity once dispatches pipeline). Their implementations are deleted;
+# see git history if a future hardware generation reopens the question.
 # Row layout (gather cost is per ROW on TPU, nearly independent of width, so
 # wider rows buy more tree per gather):
 #   internal: [bminx*A|bminy*A|bminz*A|bmaxx*A|bmaxy*A|bmaxz*A|meta*A] = 7A
@@ -161,6 +151,13 @@ def _permute_state_packed(state, order, lane_axis):
     the whole 4.2x round-3d multipass regression. Int columns ride the
     _ID_BIAS bitcast (TPU denormal rule); lane-last 2D state is relaid to
     rows for the gather and back after."""
+    packed, meta = _pack_state(state, lane_axis)
+    return _unpack_state(jnp.take(packed, order, axis=0), meta, lane_axis)
+
+
+def _pack_state(state, lane_axis):
+    """Encode a state dict as one (lanes, W) f32 matrix + decode metadata
+    (the shared packing of _permute_state_packed / _scatter_state_packed)."""
     keys = sorted(state.keys())
     cols, meta = [], []
     for k in keys:
@@ -176,7 +173,10 @@ def _permute_state_packed(state, order, lane_axis):
             enc = _encode_ids(v2.astype(jnp.int32))
         meta.append((k, state[k].dtype, state[k].ndim, v2.shape[1]))
         cols.append(enc)
-    packed = jnp.take(jnp.concatenate(cols, axis=1), order, axis=0)
+    return jnp.concatenate(cols, axis=1), meta
+
+
+def _unpack_state(packed, meta, lane_axis):
     out, off = {}, 0
     for k, dt, nd, w in meta:
         sl = packed[:, off: off + w]
@@ -193,6 +193,20 @@ def _permute_state_packed(state, order, lane_axis):
             dec = dec.T
         out[k] = dec
     return out
+
+
+def _scatter_state_packed(state, sub, idx, lane_axis):
+    """Packed-row inverse of _permute_state_packed: write the K-lane ``sub``
+    state back into ``state`` at lane ids ``idx`` with ONE wide row scatter
+    (same per-ROW cost rule as the gather; advisor round-3 high finding).
+
+    Duplicate ids in ``idx`` (the dense-continuation compaction pads unfilled
+    slots with lane 0) are safe: duplicate sub rows ran identical lane-0
+    state, so whichever write lands last stores the same values."""
+    packed_parent, meta = _pack_state(state, lane_axis)
+    packed_sub, _ = _pack_state({k: sub[k] for k in state.keys()}, lane_axis)
+    packed = packed_parent.at[idx].set(packed_sub)
+    return _unpack_state(packed, meta, lane_axis)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -604,71 +618,6 @@ def _stack_push_sorted(stack, cands, n_push):
     return jnp.concatenate([head, shifted[:, C:]], axis=1)
 
 
-# ---- transposed-layout twins (TRANSPOSED=1): stack (S, R), children ----
-# (ARITY, R) — rays in the 128 vector lanes, slots in sublanes, so every
-# shift/select/comparator runs at full lane width instead of ARITY/128.
-
-def _stack_pop_t(stack, active):
-    """_stack_pop on a (S, R) stack: top is row 0, shift rows up."""
-    top = stack[0]
-    popped = jnp.concatenate([stack[1:], jnp.zeros_like(stack[:1])], axis=0)
-    return top, jnp.where(active[None, :], popped, stack)
-
-
-def _stack_push_sorted_t(stack, cands, n_push):
-    """_stack_push_sorted on a (S, R) stack with (C, R) candidates."""
-    S = stack.shape[0]
-    C = cands.shape[0]
-    shifted = stack
-    b = 1
-    while b <= C:
-        moved = jnp.concatenate(
-            [jnp.zeros_like(shifted[:b]), shifted[: S - b]], axis=0
-        )
-        shifted = jnp.where(((n_push & b) != 0)[None, :], moved, shifted)
-        b <<= 1
-    lane = jnp.arange(C, dtype=jnp.int32)[:, None]
-    head = jnp.where(lane < n_push[None, :], cands, shifted[:C])
-    return jnp.concatenate([head, shifted[C:]], axis=0)
-
-
-def _sorted_candidates_t(tA, meta, n_rows: int):
-    """_sorted_candidates on (ARITY, R) inputs; returns (A, R) pairs. The
-    comparator operands are contiguous ROW slices here (the row-major
-    version extracts strided columns per comparator)."""
-    if n_rows <= _META_MASK:
-        valid = jnp.isfinite(tA) & (meta >= 0)
-        tbits = jax.lax.bitcast_convert_type(tA, jnp.int32)
-        key = ((tbits >> _META_BITS) << _META_BITS) | (meta & _META_MASK)
-        key = jnp.where(valid, key, _KEY_MAX)
-        cols = [key[k] for k in range(ARITY)] + [
-            jnp.full_like(key[0], _KEY_MAX) for _ in range(_SORT_N - ARITY)
-        ]
-        for a, b in _SORT_PAIRS:
-            lo = jnp.minimum(cols[a], cols[b])
-            hi = jnp.maximum(cols[a], cols[b])
-            cols[a], cols[b] = lo, hi
-        keys = jnp.stack(cols[:ARITY], axis=0)
-        return keys & _META_MASK, keys != _KEY_MAX
-    cols_t = [tA[k] for k in range(ARITY)] + [
-        jnp.full_like(tA[0], jnp.inf) for _ in range(_SORT_N - ARITY)
-    ]
-    cols_m = [meta[k] for k in range(ARITY)] + [
-        jnp.full_like(meta[0], -1) for _ in range(_SORT_N - ARITY)
-    ]
-    for a, b in _SORT_PAIRS:
-        swap = cols_t[a] > cols_t[b]
-        ta = jnp.where(swap, cols_t[b], cols_t[a])
-        tb = jnp.where(swap, cols_t[a], cols_t[b])
-        ma = jnp.where(swap, cols_m[b], cols_m[a])
-        mb = jnp.where(swap, cols_m[a], cols_m[b])
-        cols_t[a], cols_t[b] = ta, tb
-        cols_m[a], cols_m[b] = ma, mb
-    cands = jnp.stack(cols_m[:ARITY], axis=0)
-    valid = jnp.stack([jnp.isfinite(c) for c in cols_t[:ARITY]], axis=0)
-    return cands, valid
-
-
 def _mt_leaf(row, ox, oy, oz, dx, dy, dz, t_min, t_cap, K: int = LEAF_K,
              T: bool = False):
     """K-wide Möller–Trumbore on a gathered leaf row. Component-wise on
@@ -869,44 +818,30 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
     elif chunks > 1 and n_rays % chunks == 0:
         rc = n_rays // chunks
         m = mask if mask is not None else jnp.ones((n_rays,), bool)
-        if CHUNK_UNROLL:
-            # static Python loop over chunk slices — no lax.map
-            # dynamic-slice/DUS machinery (see CHUNK_UNROLL above)
-            outs = []
-            for c in range(chunks):
-                sl = slice(c * rc, (c + 1) * rc)
-                ini = ({k: v[sl] for k, v in init.items()}
-                       if init is not None else None)
-                outs.append(_traverse_flat(
-                    wbvh, Rays(rays.origin[sl], rays.direction[sl],
-                               rays.max_distance[sl]),
-                    t_min, m[sl], shadow[sl], profile, ini, unroll=unroll,
-                    count_pops=count_pops))
-            st = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
-        else:
-            def chunk_fn(args):
-                r_o, r_d, r_m, mm, sh, ini = args
-                return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, mm, sh,
-                                      profile, ini, unroll=unroll,
-                                      count_pops=count_pops)
 
-            init_c = (
-                {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
-                if init is not None
-                else None
-            )
-            st = jax.lax.map(
-                chunk_fn,
-                (
-                    rays.origin.reshape(chunks, rc, 3),
-                    rays.direction.reshape(chunks, rc, 3),
-                    rays.max_distance.reshape(chunks, rc),
-                    m.reshape(chunks, rc),
-                    shadow.reshape(chunks, rc),
-                    init_c,
-                ),
-            )
-            st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
+        def chunk_fn(args):
+            r_o, r_d, r_m, mm, sh, ini = args
+            return _traverse_flat(wbvh, Rays(r_o, r_d, r_m), t_min, mm, sh,
+                                  profile, ini, unroll=unroll,
+                                  count_pops=count_pops)
+
+        init_c = (
+            {k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}
+            if init is not None
+            else None
+        )
+        st = jax.lax.map(
+            chunk_fn,
+            (
+                rays.origin.reshape(chunks, rc, 3),
+                rays.direction.reshape(chunks, rc, 3),
+                rays.max_distance.reshape(chunks, rc),
+                m.reshape(chunks, rc),
+                shadow.reshape(chunks, rc),
+                init_c,
+            ),
+        )
+        st = {k: v.reshape((n_rays,) + v.shape[2:]) for k, v in st.items()}
     else:
         st = _traverse_flat(wbvh, rays, t_min, mask, shadow, profile, init,
                             unroll=unroll, count_pops=count_pops)
@@ -935,9 +870,6 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
 
 def _traverse_flat(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile: bool = False,
                    init=None, unroll: int = 1, count_pops: bool = False):
-    if TRANSPOSED:
-        return _traverse_flat_t(wbvh, rays, t_min, mask, shadow, profile,
-                                init, unroll=unroll, count_pops=count_pops)
     return _traverse_flat_rows(wbvh, rays, t_min, mask, shadow, profile,
                                init, unroll=unroll, count_pops=count_pops)
 
@@ -1072,142 +1004,10 @@ def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile:
     return {k: st[k] for k in keys}
 
 
-def _traverse_flat_t(wbvh: WideBVH, rays: Rays, t_min, mask, shadow,
-                     profile: bool = False, init=None, unroll: int = 1,
-                     count_pops: bool = False, max_iters: int = 0,
-                     return_state: bool = False, state_override=None):
-    """Transposed-layout twin of _traverse_flat_rows (see TRANSPOSED above):
-    stack (S, R), child/leaf arrays (ARITY/LEAF_K, R), per-ray terms (1, R).
-    One (R, ROW) -> (ROW, R) relayout after the row gather buys full-lane-
-    width VPU ops for the whole step. Same expression graph; hit ids and
-    found flags match the row layout exactly, t/u/v to ~1 ULP (layout-
-    dependent FMA formation)."""
-    n_rays = rays.origin.shape[0]
-    n_i = wbvh.n_internal
-    table = wbvh.table
-
-    ox, oy, oz = (rays.origin[:, 0][None, :], rays.origin[:, 1][None, :],
-                  rays.origin[:, 2][None, :])
-    inv = 1.0 / jnp.where(jnp.abs(rays.direction) < 1e-12,
-                          jnp.where(rays.direction < 0, -1e-12, 1e-12), rays.direction)
-    ix, iy, iz = inv[:, 0][None, :], inv[:, 1][None, :], inv[:, 2][None, :]
-    dx, dy, dz = (rays.direction[:, 0][None, :], rays.direction[:, 1][None, :],
-                  rays.direction[:, 2][None, :])
-
-    S = _stack_alloc(wbvh.stack_bound, wbvh.depth)
-    sp0 = jnp.ones((n_rays,), jnp.int32)
-    if mask is not None:
-        sp0 = jnp.where(mask, sp0, 0)
-
-    state = dict(
-        stack=jnp.zeros((S, n_rays), jnp.int32),  # root id 0 pre-pushed (top at row 0)
-        sp=sp0,
-        best_t=jnp.asarray(rays.max_distance, jnp.float32),
-        best_tri=jnp.full((n_rays,), -1, jnp.int32),
-        best_u=jnp.zeros((n_rays,), jnp.float32),
-        best_v=jnp.zeros((n_rays,), jnp.float32),
-        found=jnp.zeros((n_rays,), bool),
-    )
-    if init is not None:
-        state.update(init)
-        state["sp"] = jnp.where(init["found"] & shadow, 0, state["sp"])
-    if profile:
-        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
-        state["iters"] = jnp.zeros((n_rays,), jnp.int32)
-    elif count_pops:
-        state["pops"] = jnp.zeros((n_rays,), jnp.int32)
-    if state_override is not None:
-        state = dict(state_override)
-
-    def cond(st):
-        live = (st["sp"] > 0) & ~(st["found"] & shadow)
-        return jnp.any(live)
-
-    def body(st):
-        sp = st["sp"]
-        active = (sp > 0) & ~(st["found"] & shadow)
-        top, stack = _stack_pop_t(st["stack"], active)
-        entry = jnp.where(active, top, 0)
-        sp = jnp.where(active, sp - 1, sp)
-        if profile:
-            st["pops"] = st["pops"] + active.astype(jnp.int32)
-            st["iters"] = st["iters"] + 1
-        elif count_pops:
-            st["pops"] = st["pops"] + active.astype(jnp.int32)
-
-        row = jnp.take(table, entry, axis=0)  # (R, ROW) THE gather
-        rowT = row.T  # one relayout; every op below runs at full lane width
-        is_leaf = entry >= n_i
-
-        t_cap = st["best_t"]
-
-        # ---- leaf: LEAF_K-wide MT ----------------------------------------
-        l_hit, l_t, l_u, l_v = _mt_leaf(rowT, ox, oy, oz, dx, dy, dz, t_min,
-                                        t_cap[None, :], T=True)
-        lane_leaf = active & is_leaf
-        l_t_m = jnp.where(l_hit, l_t, jnp.inf)
-        jbest = jnp.argmin(l_t_m, axis=0)
-        oh4 = jnp.arange(LEAF_K, dtype=jnp.int32)[:, None] == jbest[None, :]
-        cand_t = jnp.sum(jnp.where(oh4, l_t_m, 0.0), axis=0)
-        cand_any = jnp.any(l_hit, axis=0)
-        ids4 = _decode_ids(rowT[IDS_OFF : IDS_OFF + LEAF_K])
-        cand_tri = jnp.sum(jnp.where(oh4, ids4, 0), axis=0)
-        cand_u = jnp.sum(jnp.where(oh4, l_u, 0.0), axis=0)
-        cand_v = jnp.sum(jnp.where(oh4, l_v, 0.0), axis=0)
-        take = lane_leaf & cand_any & (cand_t < st["best_t"])
-        st["best_t"] = jnp.where(take, cand_t, st["best_t"])
-        st["best_tri"] = jnp.where(take, cand_tri, st["best_tri"])
-        st["best_u"] = jnp.where(take, cand_u, st["best_u"])
-        st["best_v"] = jnp.where(take, cand_v, st["best_v"])
-        st["found"] = st["found"] | (lane_leaf & cand_any)
-
-        # ---- internal: ARITY AABBs, sort, push nearest-first --------------
-        a_hit, a_t = _aabb_children(rowT, ox, oy, oz, ix, iy, iz,
-                                    t_cap[None, :], T=True)
-        meta = _decode_ids(rowT[META_OFF : META_OFF + ARITY])
-        t8 = jnp.where(a_hit & (meta >= 0), a_t, jnp.inf)
-        cands, valid = _sorted_candidates_t(t8, meta, wbvh.n_rows)
-
-        lane_int = active & ~is_leaf
-        n_push = jnp.where(lane_int, jnp.sum(valid.astype(jnp.int32), axis=0), 0)
-        stack = _stack_push_sorted_t(stack, cands, n_push)
-        sp = jnp.minimum(sp + n_push, S)
-
-        st["stack"] = stack
-        st["sp"] = sp
-        return st
-
-    if unroll > 1:
-        one = body
-
-        def body(s, _one=one):
-            for _ in range(unroll):
-                s = _one(s)
-            return s
-
-    if max_iters > 0:
-        def stepped_c(c):
-            it, s = c
-            return it + 1, body(s)
-
-        _, st = jax.lax.while_loop(
-            lambda c: (c[0] < max_iters) & cond(c[1]), stepped_c,
-            (jnp.zeros((), jnp.int32), state))
-    else:
-        st = jax.lax.while_loop(cond, body, state)
-    if return_state:
-        return st
-    keys = ("best_t", "best_tri", "best_u", "best_v", "found")
-    if profile:
-        keys = keys + ("pops", "iters")
-    elif count_pops:
-        keys = keys + ("pops",)
-    return {k: st[k] for k in keys}
-
-
-# Capped-pass occupancy knobs (shared semantics with twolevel's; see
-# twolevel._traverse_chunked2 docstring — pass 1 capped, alive-first
-# resort, survivors finish densely packed).
+# Capped-pass occupancy knobs (flat path only — the two-level path's
+# capped-pass twin was replaced by the tail-continuation design,
+# twolevel._tailcont2; this flat multipass is the only alive-resort
+# implementation left, kept for the gp-sharded path).
 _PASSES = int(_os.environ.get("MRT_PASSES", "1"))
 _PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
 
@@ -1215,11 +1015,12 @@ _PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
 def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
                     count_pops, passes, cap):
     """Capped-pass + alive-resort execution of the FLAT traversal (the
-    two-level twin is twolevel._multipass2). Used by the gp-sharded path,
-    which forces two_level=False."""
+    two-level path uses the tail-continuation design instead,
+    twolevel._tailcont2). Used by the gp-sharded path, which forces
+    two_level=False."""
     n = rays.origin.shape[0]
     rc = n // chunks
-    impl = _traverse_flat_t if TRANSPOSED else _traverse_flat_rows
+    impl = _traverse_flat_rows
     m = jnp.ones((n,), bool) if mask is None else mask
     # MRT_PASSCAP is in traversal STEPS; max_iters counts while TRIPS of the
     # unrolled body (the round-3d sweep capped at 12 trips = 48 steps with
@@ -1227,17 +1028,13 @@ def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
     cap = max(1, cap // max(unroll, 1))
 
     def to_chunks(k, v):
-        if k == "stack" and TRANSPOSED:
-            return jnp.moveaxis(v.reshape(v.shape[0], chunks, rc), 1, 0)
         return v.reshape((chunks, rc) + v.shape[1:])
 
     def from_chunks(k, v):
-        if k == "stack" and TRANSPOSED:
-            return jnp.moveaxis(v, 0, 1).reshape(v.shape[1], n)
         return v.reshape((n,) + v.shape[2:])
 
     def lane_axis(k):
-        return 1 if (k == "stack" and TRANSPOSED) else 0
+        return 0
 
     # pass 1 (capped) builds state from rays/mask/init per chunk
     init_c = ({k: v.reshape((chunks, rc) + v.shape[1:]) for k, v in init.items()}

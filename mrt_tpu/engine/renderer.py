@@ -28,11 +28,6 @@ from ..render import accumulate as acc
 from ..render import wavefront as wf
 from . import scene as scene_mod
 
-# staged-path stage 2+3 fusion knob (see _trace_all_tiles_finish_frame)
-import os as _os
-
-_FUSE_FINISH = _os.environ.get("MRT_FUSE_FINISH", "0") == "1"
-
 # Properties whose change invalidates accumulated history
 # (Renderer.swift:52-197 didSet { frameIndex = 0 }).
 _RESET_PROPS = {
@@ -174,48 +169,6 @@ def _trace_all_tiles_frame(settings, statics, scene, bvh, geom, uniforms,
     # ray-counter reduction INSIDE the program: an eager jnp.sum after the
     # launch is its own ~60-70 ms dispatch on the axon tunnel
     return out, jnp.sum(out.rays_traced.astype(jnp.int64))
-
-
-@partial(jax.jit, static_argnums=(0, 1))
-def _trace_all_tiles_finish_frame(settings, statics, scene, bvh, geom, uniforms,
-                                  offsets, prev_motion, pp, ps, hint, prev_accum,
-                                  table_patch=None, geom_patch=None):
-    """Stages 2+3 fused: trace every tile AND temporally accumulate in ONE
-    program — saves one ~60-70 ms program launch per frame on the axon
-    tunnel (dispatch, not device, cost). Env-gated (MRT_FUSE_FINISH=1)
-    pending a TPU check that the extra image-sized ops don't evict the
-    VMEM table placement the trace-only program enjoys."""
-    if table_patch is not None and hasattr(bvh, "table"):
-        bvh = bvh._replace(table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
-    geom = _patch_geom_rows(geom, geom_patch)
-    with jax.named_scope("trace"):
-        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
-                             offsets, prev_motion,
-                             prime_primary=pp, prime_shadow=ps, step_hint=hint)
-    with jax.named_scope("accumulate"):
-        accum = acc.accumulate(settings, uniforms, out.color, out.motion,
-                               prev_motion, prev_accum)
-    return out, accum, jnp.sum(out.rays_traced.astype(jnp.int64))
-
-
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
-def _trace_all_tiles_frame_donated(settings, statics, scene, bvh, geom, uniforms,
-                                   offsets, prev_motion, pp, ps, hint,
-                                   geom_patch=None):
-    """Stage-2 tile-loop variant with the BVH DONATED through the program.
-
-    Alternative VMEM-placement mechanism to the in-program-intermediate
-    patch: donation lets XLA alias the table's input and output buffers, and
-    the standalone traversal microbench measured the donated pattern at
-    550 Mrays/s (docs/PERF.md round 2b) — the caller must adopt the RETURNED
-    bvh (the donated input handle is dead) and thread it into the next
-    frame."""
-    geom = _patch_geom_rows(geom, geom_patch)
-    with jax.named_scope("trace"):
-        out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
-                             offsets, prev_motion,
-                             prime_primary=pp, prime_shadow=ps, step_hint=hint)
-    return out, bvh, jnp.sum(out.rays_traced.astype(jnp.int64))
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -403,11 +356,6 @@ class Renderer:
         # rewrite the table into an in-program intermediate in the staged
         # trace program so MSA can pin it in VMEM (docs/PERF.md round 2b)
         self.vmem_table = True
-        # alternative placement mechanism: DONATE the bvh through the trace
-        # program (input/output buffer aliasing) instead of the intermediate
-        # patch; the standalone donated pattern measured 550 Mrays/s
-        # (docs/PERF.md round 2b). Only takes effect with tile_program_loop.
-        self.table_donate = False
         # pin the shade/motion tables in VMEM the same way (None = auto by
         # total table bytes; see _patch_geom_rows)
         self.vmem_shade_tables = None
@@ -816,30 +764,11 @@ class Renderer:
         if self.tile_program_loop:
             # all tiles in ONE program: one launch/frame instead of n_tiles
             # (each launch costs ~60-70 ms wall on the axon tunnel)
-            if self.table_donate:
-                out, bvh2, rays_total = _trace_all_tiles_frame_donated(
-                    settings, statics, scene2, bvh2, geom, uniforms,
-                    self.offsets, self.motion, self.prime_primary,
-                    self.prime_shadow, self.step_hint, gpatch,
-                )
-                # the donated input handle is dead — adopt the returned bvh
-                # (same values, aliased buffers) for the next clean frame
-                object.__setattr__(self, "_prepare_cache",
-                                   ((settings, statics), leaves,
-                                    (scene2, geom, bvh2)))
-            elif _FUSE_FINISH:
-                out, fused_accum, rays_total = _trace_all_tiles_finish_frame(
-                    settings, statics, scene2, bvh2, geom, uniforms,
-                    self.offsets, self.motion, self.prime_primary,
-                    self.prime_shadow, self.step_hint, self.accum,
-                    patch, gpatch,
-                )
-            else:
-                out, rays_total = _trace_all_tiles_frame(
-                    settings, statics, scene2, bvh2, geom, uniforms,
-                    self.offsets, self.motion, self.prime_primary,
-                    self.prime_shadow, self.step_hint, patch, gpatch,
-                )
+            out, rays_total = _trace_all_tiles_frame(
+                settings, statics, scene2, bvh2, geom, uniforms,
+                self.offsets, self.motion, self.prime_primary,
+                self.prime_shadow, self.step_hint, patch, gpatch,
+            )
             gbuffer = None
             if settings.enable_gbuffer:
                 gbuffer = dict(
@@ -848,11 +777,8 @@ class Renderer:
                     normal=out.normal,
                     roughness=out.roughness,
                 )
-            if _FUSE_FINISH and not self.table_donate:
-                accum = fused_accum
-            else:
-                accum = _finish_frame(settings, uniforms, out.color, out.motion,
-                                      self.motion, self.accum)
+            accum = _finish_frame(settings, uniforms, out.color, out.motion,
+                                  self.motion, self.accum)
             return (accum, out.depth, out.motion, gbuffer, scene2.positions_obj,
                     rays_total, out.prime_primary, out.prime_shadow,
                     out.step_hint)

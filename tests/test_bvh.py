@@ -290,54 +290,3 @@ def test_stack_alloc_clamps_degenerate_bounds():
     # bound 1 — the case that produced width-1 stacks before the clamp
     chain = {0: [1], 1: [2], 2: []}
     assert wide.exact_stack_bound(lambda n: chain[n]) == 1
-
-
-def test_transposed_traversal_matches_row_layout():
-    """MRT_TRANSPOSED traversal (stack/children transposed so rays fill the
-    128 vector lanes) must find the identical hits; t/u/v may differ by
-    ~1 ULP from layout-dependent FMA formation."""
-    import jax.numpy as jnp
-
-    from mrt_tpu.bvh import wide
-    from mrt_tpu.core.types import Rays
-
-    rng = np.random.default_rng(11)
-    n = 20000
-    c = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    e = 0.6 / np.sqrt(n)
-    v1 = c + rng.normal(size=(n, 3)).astype(np.float32) * e
-    v2 = c + rng.normal(size=(n, 3)).astype(np.float32) * e
-    b = wide.build(c, v1, v2)
-    N = 4096
-    o = rng.uniform(0, 1, (N, 3)).astype(np.float32); o[:, 2] = -1.0
-    d = rng.normal(0, 0.3, (N, 3)).astype(np.float32); d[:, 2] = 1.0
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    rays = Rays(jnp.asarray(o), jnp.asarray(d), jnp.full((N,), np.inf, jnp.float32))
-    mask = jnp.asarray(rng.random(N) > 0.1)
-    shadow = jnp.asarray(rng.random(N) > 0.5)
-
-    a = wide._traverse_flat_rows(b, rays, 1e-4, mask, shadow, unroll=2)
-    t = wide._traverse_flat_t(b, rays, 1e-4, mask, shadow, unroll=2)
-    np.testing.assert_array_equal(np.asarray(a["best_tri"]), np.asarray(t["best_tri"]))
-    np.testing.assert_array_equal(np.asarray(a["found"]), np.asarray(t["found"]))
-    np.testing.assert_allclose(np.asarray(a["best_t"]), np.asarray(t["best_t"]),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(a["best_u"]), np.asarray(t["best_u"]),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a["best_v"]), np.asarray(t["best_v"]),
-                               rtol=1e-4, atol=1e-5)
-
-    # priming path: primed lanes must stay consistent too
-    prime = np.full((N,), -1, np.int32)
-    prime[::3] = np.asarray(a["best_tri"])[::3]
-    tri_rows = jnp.concatenate(
-        [jnp.asarray(c), jnp.asarray(v1), jnp.asarray(v2)], axis=1)
-    ini_r = wide._prime_hits(rays, jnp.asarray(prime), tri_rows, 1e-4)
-    pt, pu, pv, pok = ini_r
-    init = dict(best_t=jnp.minimum(rays.max_distance, pt),
-                best_tri=jnp.where(pok, jnp.asarray(prime), -1),
-                best_u=jnp.where(pok, pu, 0.0),
-                best_v=jnp.where(pok, pv, 0.0), found=pok)
-    a2 = wide._traverse_flat_rows(b, rays, 1e-4, mask, shadow, init=dict(init))
-    t2 = wide._traverse_flat_t(b, rays, 1e-4, mask, shadow, init=dict(init))
-    np.testing.assert_array_equal(np.asarray(a2["best_tri"]), np.asarray(t2["best_tri"]))

@@ -39,13 +39,12 @@ print(json.dumps(dict(mean=float(img.mean()), finite=bool(np.isfinite(img).all()
 
 COMBOS = [
     {},
-    {"MRT_TRANSPOSED": "1"},
-    {"MRT_PASSES": "2", "MRT_PASSCAP": "8"},
+    {"MRT_TAILCAP": "8"},
+    {"MRT_TAILCAP": "16", "MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
+    # MRT_PASSES/MRT_PASSCAP only affect the flat (two_level=False) path —
+    # the two-level occupancy knob is MRT_TAILCAP (advisor round-3 medium)
+    {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TWOLEVEL": "0"},
     {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
-    {"MRT_TRANSPOSED": "1", "MRT_TWOLEVEL": "0"},
-    {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TRANSPOSED": "1",
-     "MRT_TWOLEVEL": "0"},
-    {"MRT_FUSE_FINISH": "1", "MRT_PASSES": "2"},
 ]
 
 
@@ -104,13 +103,14 @@ print(json.dumps(means))
 
 
 @pytest.mark.parametrize("combo", [
-    {"MRT_TRANSPOSED": "1"},
-    {"MRT_PASSES": "2", "MRT_PASSCAP": "8"},
+    {"MRT_TAILCAP": "8"},
+    {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TWOLEVEL": "0"},
 ], ids=lambda c: "+".join(f"{k}={v}" for k, v in c.items()))
 def test_geometry_masks_survive_knob_combos(combo):
     """The TPU queue A/Bs these knobs; the per-lane ray_mask state must ride
-    through the transposed layout and the multipass alive-resort unchanged
-    (a LIGHT-masked occluder stops shadowing under every execution strategy)."""
+    through the tail-continuation compaction/scatter and the flat multipass
+    alive-resort unchanged (a LIGHT-masked occluder stops shadowing under
+    every execution strategy)."""
     out = _run_child(MASK_CHILD, combo)
     assert out["light"] > out["geom"] * 1.05, (combo, out)
 
