@@ -9,6 +9,14 @@
 // with measurably better tree quality than the Morton LBVH fallback (fewer
 // node visits per ray = fewer gather rounds on TPU).
 //
+// v2 (round 4): the binary phase splits to SINGLETON leaves (exact sweep
+// with a flat-row cost model under 64 tris, binned SAH above), and the
+// binary->wide collapse is a dynamic program minimizing total emitted-row
+// surface area — the TPU analog of SAH-guided wide collapse (Ylitie et al.
+// 2017), where every row (internal OR leaf) costs one packed-row gather.
+// Offline quality vs v1 on the app scene: camera pops/ray 7.59 -> 6.24,
+// bounce 7.00 -> 5.59 (scripts/tree_quality.py, docs/PERF.md round 4e).
+//
 // C ABI, consumed via ctypes (no pybind11 in the image).
 //
 // Build: g++ -O3 -march=native -shared -fPIC mrt_native.cpp -o libmrt_native.so
@@ -72,68 +80,117 @@ struct Builder {
       node.bounds.grow(tri_bounds[order[i]]);
       cb.grow(&centroids[3 * order[i]]);
     }
-    if (count <= leaf_k) {
+    // Split to SINGLETON leaves: the DP collapse below owns leaf formation
+    // (it can merge any <=LEAF_K-triangle subtree into one leaf row), so the
+    // binary phase only provides topology options, never forces a leaf.
+    if (count <= 1) {
       nodes.push_back(node);
       return (int)nodes.size() - 1;
     }
 
-    // binned SAH over the widest centroid axis
-    int axis = 0;
     float ext[3];
     for (int k = 0; k < 3; ++k) ext[k] = cb.mx[k] - cb.mn[k];
-    if (ext[1] > ext[axis]) axis = 1;
-    if (ext[2] > ext[axis]) axis = 2;
 
-    int mid;
-    if (ext[axis] < 1e-12f) {
-      mid = start + count / 2;  // degenerate: median split
-    } else {
-      AABB bin_bounds[NBINS];
-      int bin_count[NBINS] = {0};
-      float scale = NBINS / ext[axis];
-      auto bin_of = [&](int tri) {
-        int b = (int)((centroids[3 * tri + axis] - cb.mn[axis]) * scale);
-        return std::min(std::max(b, 0), NBINS - 1);
-      };
-      for (int i = start; i < start + count; ++i) {
-        int b = bin_of(order[i]);
-        bin_count[b]++;
-        bin_bounds[b].grow(tri_bounds[order[i]]);
-      }
-      // sweep
-      float right_area[NBINS];
-      AABB acc;
-      int right_count[NBINS];
-      int rc = 0;
-      for (int b = NBINS - 1; b >= 1; --b) {
-        acc.grow(bin_bounds[b]);
-        rc += bin_count[b];
-        right_area[b] = acc.area();
-        right_count[b] = rc;
-      }
-      AABB lacc;
-      int lc = 0;
+    int mid = -1;
+    if (count <= 64) {
+      // exact sweep with the FLAT-ROW cost model: a subtree of c tris costs
+      // at least ceil(c/LEAF_K) leaf rows of ~this area, so weigh areas by
+      // row count, not triangle count (matches the DP collapse objective)
       float best_cost = FLT_MAX;
-      int best_split = -1;
-      for (int b = 0; b < NBINS - 1; ++b) {
-        lacc.grow(bin_bounds[b]);
-        lc += bin_count[b];
-        if (lc == 0 || lc == count) continue;
-        float cost = lacc.area() * lc + right_area[b + 1] * right_count[b + 1];
-        if (cost < best_cost) {
-          best_cost = cost;
-          best_split = b;
+      int best_axis = -1, best_pos = -1;
+      static thread_local std::vector<int> tmp;
+      static thread_local std::vector<float> larea;
+      tmp.assign(order.begin() + start, order.begin() + start + count);
+      larea.resize(count);
+      for (int axis = 0; axis < 3; ++axis) {
+        if (ext[axis] < 1e-12f) continue;
+        std::sort(tmp.begin(), tmp.end(), [&](int a, int c) {
+          return centroids[3 * a + axis] < centroids[3 * c + axis];
+        });
+        AABB acc;
+        for (int i = 0; i < count - 1; ++i) {
+          acc.grow(tri_bounds[tmp[i]]);
+          larea[i] = acc.area();
+        }
+        AABB racc;
+        for (int i = count - 1; i >= 1; --i) {
+          racc.grow(tri_bounds[tmp[i]]);
+          float cost = larea[i - 1] * ((i + leaf_k - 1) / leaf_k)
+                     + racc.area() * ((count - i + leaf_k - 1) / leaf_k);
+          if (cost < best_cost) {
+            best_cost = cost;
+            best_axis = axis;
+            best_pos = i;
+          }
         }
       }
-      if (best_split < 0) {
-        mid = start + count / 2;
-      } else {
-        auto it = std::partition(order.begin() + start, order.begin() + start + count,
-                                 [&](int tri) { return bin_of(tri) <= best_split; });
+      if (best_axis >= 0) {
+        std::sort(tmp.begin(), tmp.end(), [&](int a, int c) {
+          return centroids[3 * a + best_axis] < centroids[3 * c + best_axis];
+        });
+        std::copy(tmp.begin(), tmp.end(), order.begin() + start);
+        mid = start + best_pos;
+      }
+    } else {
+      // binned SAH over the widest centroid axis (3-axis binning measured
+      // WORSE under the DP collapse — tree_quality round 4)
+      float best_cost = FLT_MAX;
+      int best_axis = -1, best_split = -1;
+      int wax = 0;
+      if (ext[1] > ext[wax]) wax = 1;
+      if (ext[2] > ext[wax]) wax = 2;
+      for (int axis = wax; axis <= wax; ++axis) {
+        if (ext[axis] < 1e-12f) continue;
+        AABB bin_bounds[NBINS];
+        int bin_count[NBINS] = {0};
+        float scale = NBINS / ext[axis];
+        auto bin_of = [&](int tri) {
+          int b = (int)((centroids[3 * tri + axis] - cb.mn[axis]) * scale);
+          return std::min(std::max(b, 0), NBINS - 1);
+        };
+        for (int i = start; i < start + count; ++i) {
+          int b = bin_of(order[i]);
+          bin_count[b]++;
+          bin_bounds[b].grow(tri_bounds[order[i]]);
+        }
+        float right_area[NBINS];
+        AABB acc;
+        int right_count[NBINS];
+        int rc = 0;
+        for (int b = NBINS - 1; b >= 1; --b) {
+          acc.grow(bin_bounds[b]);
+          rc += bin_count[b];
+          right_area[b] = acc.area();
+          right_count[b] = rc;
+        }
+        AABB lacc;
+        int lc = 0;
+        for (int b = 0; b < NBINS - 1; ++b) {
+          lacc.grow(bin_bounds[b]);
+          lc += bin_count[b];
+          if (lc == 0 || lc == count) continue;
+          float cost = lacc.area() * lc + right_area[b + 1] * right_count[b + 1];
+          if (cost < best_cost) {
+            best_cost = cost;
+            best_axis = axis;
+            best_split = b;
+          }
+        }
+      }
+      if (best_axis >= 0) {
+        int axis = best_axis;
+        float scale = NBINS / ext[axis];
+        int bs = best_split;
+        auto it = std::partition(
+            order.begin() + start, order.begin() + start + count, [&](int tri) {
+              int bb = (int)((centroids[3 * tri + axis] - cb.mn[axis]) * scale);
+              return std::min(std::max(bb, 0), NBINS - 1) <= bs;
+            });
         mid = (int)(it - order.begin());
-        if (mid == start || mid == start + count) mid = start + count / 2;
+        if (mid == start || mid == start + count) mid = -1;
       }
     }
+    if (mid < 0) mid = start + count / 2;  // degenerate: median split
 
     int left = build_binary(start, mid - start);
     int right = build_binary(mid, start + count - mid);
@@ -157,7 +214,7 @@ static thread_local std::vector<int32_t> g_leaf;
 static thread_local int32_t g_ni = 0, g_nl = 0, g_depth = 0;
 
 int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
-  if (n_tris <= 0 || arity < 2 || leaf_k < 1) return 1;
+  if (n_tris <= 0 || arity < 2 || arity > 32 || leaf_k < 1) return 1;
   const int ARITY = arity;
   const int LEAF_K = leaf_k;
   Builder b;
@@ -179,7 +236,54 @@ int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
   b.nodes.reserve(2 * n_tris);
   int root = b.build_binary(0, n_tris);
 
-  // collapse binary -> ARITY-ary with LEAF_K-tri leaves
+  // --------------------------------------------------------------------
+  // Optimal binary->wide collapse by dynamic programming (the SAH-guided
+  // collapse family of Ylitie et al. 2017, re-derived for the TPU cost
+  // model): on TPU every traversal step is ONE packed-row gather whether
+  // the row is internal (ARITY AABBs) or leaf (LEAF_K triangles), so the
+  // cost of an emitted wide entry is FLAT and the expected pops/ray of a
+  // tree is sum(area(entry))/area(root) over all emitted entries. The DP
+  // therefore minimizes the summed surface area of emitted rows.
+  //
+  //   C(n, i) = min cost of covering binary subtree n with a forest of at
+  //             most i wide-entry roots
+  //   D(n, i) = min_{1<=k<i} C(left, k) + C(right, i-k)   (split forest)
+  //   C(n, 1) = min( A(n)          if count(n) <= LEAF_K   [leaf row]
+  //               ,  A(n) + D(n, ARITY) )                  [internal row]
+  //   C(n, i) = min( C(n, i-1), D(n, i) )                  i in 2..ARITY
+  //
+  // nodes[] is in postorder (children precede parents), so the DP is one
+  // forward pass; reconstruction recomputes argmins from the C table.
+  // --------------------------------------------------------------------
+  const int NB = (int)b.nodes.size();
+  std::vector<float> C((size_t)NB * ARITY);
+  const float INF = FLT_MAX / 4;
+
+  for (int n = 0; n < NB; ++n) {
+    const BinNode& nd = b.nodes[n];
+    float* Cn = &C[(size_t)n * ARITY];
+    float area = nd.bounds.area();
+    if (nd.left < 0) {  // singleton binary leaf: must be its own leaf row
+      for (int i = 0; i < ARITY; ++i) Cn[i] = area;
+      continue;
+    }
+    const float* Cl = &C[(size_t)nd.left * ARITY];
+    const float* Cr = &C[(size_t)nd.right * ARITY];
+    float D[/*ARITY+1*/ 64];
+    for (int i = 2; i <= ARITY; ++i) {
+      float best = INF;
+      for (int k = 1; k < i; ++k) {
+        float c = Cl[k - 1] + Cr[i - k - 1];
+        if (c < best) best = c;
+      }
+      D[i] = best;
+    }
+    float c_leaf = nd.count <= LEAF_K ? area : INF;
+    float c_int = area + D[ARITY];
+    Cn[0] = std::min(c_leaf, c_int);
+    for (int i = 2; i <= ARITY; ++i) Cn[i - 1] = std::min(Cn[i - 2], D[i]);
+  }
+
   std::vector<std::vector<int>> node_child;  // >=0: internal idx, <0: -(leaf idx)-1
   std::vector<std::vector<int32_t>> leaves;
 
@@ -190,44 +294,73 @@ int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
     return -(int)leaves.size();  // -(idx)-1
   };
 
+  // forest_roots(n, i): binary subtree roots realizing C(n, i).
+  auto forest_roots = [&](int n, int i, std::vector<int>& out) {
+    struct F { int n, i; };
+    std::vector<F> st{{n, i}};
+    while (!st.empty()) {
+      F f = st.back();
+      st.pop_back();
+      const BinNode& nd = b.nodes[f.n];
+      const float* Cn = &C[(size_t)f.n * ARITY];
+      if (nd.left < 0) { out.push_back(f.n); continue; }
+      const float* Cl = &C[(size_t)nd.left * ARITY];
+      const float* Cr = &C[(size_t)nd.right * ARITY];
+      int i2 = f.i;
+      while (i2 > 1 && Cn[i2 - 1] == Cn[i2 - 2]) --i2;  // carried from i-1
+      if (i2 == 1) { out.push_back(f.n); continue; }
+      int bk = 1;
+      float best = INF;
+      for (int k = 1; k < i2; ++k) {
+        float c = Cl[k - 1] + Cr[i2 - k - 1];
+        if (c < best) { best = c; bk = k; }
+      }
+      // split order: left forest then right forest (preorder-ish)
+      st.push_back({nd.right, i2 - bk});
+      st.push_back({nd.left, bk});
+    }
+  };
+
   struct Work {
     int wide_idx;
     int bin_idx;
   };
   std::vector<Work> work;
-  if (b.nodes[root].left < 0) {
-    // root is a leaf
-    node_child.push_back(std::vector<int>{make_leaf(b.nodes[root])});
-  } else {
-    node_child.push_back({});
-    work.push_back({0, root});
+  {
+    const BinNode& rn = b.nodes[root];
+    float c_leaf = rn.count <= LEAF_K ? rn.bounds.area() : INF;
+    if (rn.left < 0 || c_leaf <= C[(size_t)root * ARITY]) {
+      node_child.push_back(std::vector<int>{make_leaf(rn)});
+    } else {
+      node_child.push_back({});
+      work.push_back({0, root});
+    }
   }
-  std::vector<int32_t> wide_depth;
 
   while (!work.empty()) {
     Work w = work.back();
     work.pop_back();
-    // expand to up to ARITY subtree roots, splitting largest first
-    std::vector<int> roots = {w.bin_idx};
-    while ((int)roots.size() < ARITY) {
-      int best = -1, best_count = LEAF_K;
-      for (int i = 0; i < (int)roots.size(); ++i) {
-        const BinNode& n = b.nodes[roots[i]];
-        if (n.left >= 0 && n.count > best_count) {
-          best = i;
-          best_count = n.count;
-        }
-      }
-      if (best < 0) break;
-      int r = roots[best];
-      roots.erase(roots.begin() + best);
-      roots.insert(roots.begin() + best, b.nodes[r].right);
-      roots.insert(roots.begin() + best, b.nodes[r].left);
+    // Internal-row decomposition = D(n, ARITY): split left/right at the
+    // argmin FIRST (keep-whole is not an option for an emitted internal —
+    // a node cannot be its own child), then realize each side via C.
+    const BinNode& wn = b.nodes[w.bin_idx];
+    const float* Cl = &C[(size_t)wn.left * ARITY];
+    const float* Cr = &C[(size_t)wn.right * ARITY];
+    int bk = 1;
+    float best = INF;
+    for (int k = 1; k < ARITY; ++k) {
+      float c = Cl[k - 1] + Cr[ARITY - k - 1];
+      if (c < best) { best = c; bk = k; }
     }
+    std::vector<int> roots;
+    forest_roots(wn.left, bk, roots);
+    forest_roots(wn.right, ARITY - bk, roots);
     std::vector<int> children;
     for (int r : roots) {
       const BinNode& n = b.nodes[r];
-      if (n.left < 0 || n.count <= LEAF_K) {
+      float c_leaf = n.count <= LEAF_K ? n.bounds.area() : INF;
+      // emit r as realizing C(r, 1): leaf row when the leaf option won
+      if (n.left < 0 || c_leaf <= C[(size_t)r * ARITY]) {
         children.push_back(make_leaf(n));
       } else {
         node_child.push_back({});
