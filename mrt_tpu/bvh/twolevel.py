@@ -45,7 +45,6 @@ from .wide import (
     _encode_ids,
     _mt_leaf,
     _permute_state_packed,
-    _scatter_state_packed,
     _sorted_candidates,
     _sort_keys_generic,
     _stack_alloc,
@@ -56,13 +55,10 @@ from .wide import (
     exact_stack_bound,
 )
 
-# Tail-continuation knob (docs/PERF.md round 4b): cap each chunk's while
-# loop at MRT_TAILCAP traversal steps, then finish survivors in dense
-# 4096-lane continuation batches (_tailcont2). 0 = off (single uncapped
-# pass, the production default until a TPU A/B says otherwise).
-import os as _os
-
-TAIL_CAP = int(_os.environ.get("MRT_TAILCAP", "0"))
+# NOTE: the MRT_TAILCAP tail-continuation experiment (capped chunks +
+# dense continuation batches) was measured 1.6-2.7x SLOWER on TPU at every
+# cap and deleted — docs/PERF.md round 4d has the A/B and diagnosis; git
+# history has the implementation (_tailcont2 + wide._scatter_state_packed).
 
 # instance-row layout (floats)
 _I_MINV = 0  # 12: rows of the 3x4 world->object affine
@@ -864,82 +860,12 @@ def _run_state2(bvh, t_min, st, unroll: int, max_iters: int = 0):
     return jax.lax.while_loop(lambda s: jnp.any(s["sp"] > 0), stepped, st)
 
 
-def _tailcont2(bvh, rays, t_min, live0, shadow, init, chunks, unroll,
-               count_pops, tail_cap, S, ray_mask=None, cont_k=4096):
-    """Capped chunked pass + DENSE tail continuation (docs/PERF.md round 4b).
-
-    A chunk's while loop pays its MAX lane's steps; the measured step
-    distribution has p50 ~6, p99 ~21-24, max ~60-90 — a 0.1% tail of grazing
-    rays sets nearly every chunk's trip count (paid/used ~6x on bounce
-    batches). Since bounce-ray cost is unpredictable at sort time (offline
-    study, round 4a), the tail is cut by EXECUTION instead: pass 1 is the
-    production chunked map capped at ``tail_cap`` traversal steps, then the
-    few surviving lanes are finished in ``cont_k``-lane dense batches — one
-    small uncapped while program per round, selected by a cumsum compaction.
-    Unlike the dead capped-pass+alive-resort design (rounds 3e/3g) there is
-    no second chunked lax.map and no full-batch state resort; simulated paid
-    steps drop 6.0x -> ~2.4-2.7x on mixed batches at tail_cap=16."""
-    n_rays = rays.origin.shape[0]
-    rc = n_rays // chunks
-    st = _make_state2(rays.origin, rays.direction, live0, shadow, init, S,
-                      count_pops, ray_mask=ray_mask)
-
-    def to_chunks(k, v):
-        if _lane_axis(k) == 1:  # (S, R) -> (chunks, S, rc)
-            s = v.shape[0]
-            return jnp.moveaxis(v.reshape(s, chunks, rc), 1, 0)
-        return v.reshape((chunks, rc) + v.shape[1:])
-
-    def from_chunks(k, v):
-        if _lane_axis(k) == 1:  # (chunks, S, rc) -> (S, R)
-            return jnp.moveaxis(v, 0, 1).reshape(v.shape[1], n_rays)
-        return v.reshape((n_rays,) + v.shape[2:])
-
-    # the cap is in traversal STEPS; _run_state2's max_iters counts while
-    # TRIPS of the unrolled body (docs/PERF.md round 3e)
-    cap_trips = max(1, tail_cap // max(unroll, 1))
-    parts = {k: to_chunks(k, v) for k, v in st.items()}
-    out = jax.lax.map(
-        lambda s: _run_state2(bvh, t_min, s, unroll, max_iters=cap_trips),
-        parts)
-    st = {k: from_chunks(k, v) for k, v in out.items()}
-
-    K = min(cont_k, n_rays)
-
-    def cont_cond(s):
-        return jnp.any(s["sp"] > 0)
-
-    def cont_body(s):
-        alive = s["sp"] > 0
-        # first-K alive lane ids via cumsum compaction (cheaper than top_k);
-        # unfilled slots fall back to lane 0 — if it is alive it is also
-        # slot 0, and duplicate rows run identically and scatter identical
-        # values; if dead, its sub-lanes are no-ops
-        rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        sel = alive & (rank < K)
-        slot = jnp.where(sel, rank, K)
-        idx = jnp.zeros((K + 1,), jnp.int32).at[slot].set(
-            jnp.arange(n_rays, dtype=jnp.int32), mode="drop")[:K]
-        sub = _permute_state_packed(s, idx, _lane_axis)
-        sub = _run_state2(bvh, t_min, sub, unroll)
-        return _scatter_state_packed(s, sub, idx, _lane_axis)
-
-    st = jax.lax.while_loop(cont_cond, cont_body, st)
-    keys = ("best_t", "best_tri", "best_u", "best_v", "found", "best_inst")
-    if count_pops:
-        keys = keys + ("pops",)
-    return {k: st[k] for k in keys}
-
-
 def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
                        chunks: int, unroll: int = 1, count_pops: bool = False,
-                       tail_cap: int = 0, ray_mask=None):
+                       ray_mask=None):
     """Chunked two-level traversal (wide._traverse's execution strategy with
     the two-level step): the coherence-sorted batch is split into independent
-    while_loops so all-dead chunks exit immediately.
-
-    ``tail_cap > 0``: cap each chunk at that many traversal steps and finish
-    the surviving tail lanes in dense continuation batches (_tailcont2)."""
+    while_loops so all-dead chunks exit immediately."""
     n_rays = rays.origin.shape[0]
     f32 = jnp.float32
     live0 = jnp.ones((n_rays,), bool) if mask is None else mask
@@ -954,12 +880,6 @@ def _traverse_chunked2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow, init,
         )
     S = _stack_alloc(bvh.stack_bound,
                      bvh.tlas_depth + 1 + max(m[4] for m in bvh.mesh_meta))
-
-    if tail_cap > 0 and chunks > 1 and n_rays % chunks == 0:
-        init = dict(init, best_t=jnp.minimum(
-            init["best_t"], jnp.asarray(rays.max_distance, f32)))
-        return _tailcont2(bvh, rays, t_min, live0, shadow, init, chunks,
-                          unroll, count_pops, tail_cap, S, ray_mask=ray_mask)
 
     def run_flat(o, d, lv, sh, ini, rm=None):
         # sp==0 lanes make the step a no-op, so checking the cross-lane
@@ -1096,7 +1016,7 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
     else:
         st = _traverse_chunked2(bvh, rays, t_min, live0, shadow, init, chunks,
                                 unroll=unroll, count_pops=count_pops,
-                                tail_cap=TAIL_CAP, ray_mask=ray_mask)
+                                ray_mask=ray_mask)
 
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for

@@ -157,7 +157,7 @@ def _permute_state_packed(state, order, lane_axis):
 
 def _pack_state(state, lane_axis):
     """Encode a state dict as one (lanes, W) f32 matrix + decode metadata
-    (the shared packing of _permute_state_packed / _scatter_state_packed)."""
+    (the packing half of _permute_state_packed)."""
     keys = sorted(state.keys())
     cols, meta = [], []
     for k in keys:
@@ -193,20 +193,6 @@ def _unpack_state(packed, meta, lane_axis):
             dec = dec.T
         out[k] = dec
     return out
-
-
-def _scatter_state_packed(state, sub, idx, lane_axis):
-    """Packed-row inverse of _permute_state_packed: write the K-lane ``sub``
-    state back into ``state`` at lane ids ``idx`` with ONE wide row scatter
-    (same per-ROW cost rule as the gather; advisor round-3 high finding).
-
-    Duplicate ids in ``idx`` (the dense-continuation compaction pads unfilled
-    slots with lane 0) are safe: duplicate sub rows ran identical lane-0
-    state, so whichever write lands last stores the same values."""
-    packed_parent, meta = _pack_state(state, lane_axis)
-    packed_sub, _ = _pack_state({k: sub[k] for k in state.keys()}, lane_axis)
-    packed = packed_parent.at[idx].set(packed_sub)
-    return _unpack_state(packed, meta, lane_axis)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -1004,9 +990,9 @@ def _traverse_flat_rows(wbvh: WideBVH, rays: Rays, t_min, mask, shadow, profile:
     return {k: st[k] for k in keys}
 
 
-# Capped-pass occupancy knobs (flat path only — the two-level path's
-# capped-pass twin was replaced by the tail-continuation design,
-# twolevel._tailcont2; this flat multipass is the only alive-resort
+# Capped-pass occupancy knobs (flat path only; every two-level occupancy
+# variant — capped-pass, tail-continuation — lost on TPU and was deleted,
+# PERF.md rounds 3g/4d; this flat multipass is the only alive-resort
 # implementation left, kept for the gp-sharded path).
 _PASSES = int(_os.environ.get("MRT_PASSES", "1"))
 _PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
@@ -1014,10 +1000,10 @@ _PASS_CAP = int(_os.environ.get("MRT_PASSCAP", "12"))
 
 def _multipass_flat(wbvh, rays, t_min, mask, shadow, init, chunks, unroll,
                     count_pops, passes, cap):
-    """Capped-pass + alive-resort execution of the FLAT traversal (the
-    two-level path uses the tail-continuation design instead,
-    twolevel._tailcont2). Used by the gp-sharded path, which forces
-    two_level=False."""
+    """Capped-pass + alive-resort execution of the FLAT traversal — the only
+    surviving occupancy-recovery variant (kept for the gp-sharded path,
+    which forces two_level=False); the two-level tail-continuation twin
+    measured 1.6-2.7x slower on TPU and was deleted (PERF.md round 4d)."""
     n = rays.origin.shape[0]
     rc = n // chunks
     impl = _traverse_flat_rows

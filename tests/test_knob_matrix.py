@@ -39,10 +39,9 @@ print(json.dumps(dict(mean=float(img.mean()), finite=bool(np.isfinite(img).all()
 
 COMBOS = [
     {},
-    {"MRT_TAILCAP": "8"},
-    {"MRT_TAILCAP": "16", "MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
-    # MRT_PASSES/MRT_PASSCAP only affect the flat (two_level=False) path —
-    # the two-level occupancy knob is MRT_TAILCAP (advisor round-3 medium)
+    # MRT_PASSES/MRT_PASSCAP only affect the flat (two_level=False) path
+    # (the two-level tail-continuation knob lost on TPU and was deleted,
+    # docs/PERF.md round 4d)
     {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TWOLEVEL": "0"},
     {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
 ]
@@ -103,12 +102,10 @@ print(json.dumps(means))
 
 
 @pytest.mark.parametrize("combo", [
-    {"MRT_TAILCAP": "8"},
     {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TWOLEVEL": "0"},
 ], ids=lambda c: "+".join(f"{k}={v}" for k, v in c.items()))
 def test_geometry_masks_survive_knob_combos(combo):
-    """The TPU queue A/Bs these knobs; the per-lane ray_mask state must ride
-    through the tail-continuation compaction/scatter and the flat multipass
+    """The per-lane ray_mask state must ride through the flat multipass
     alive-resort unchanged (a LIGHT-masked occluder stops shadowing under
     every execution strategy)."""
     out = _run_child(MASK_CHILD, combo)

@@ -131,36 +131,3 @@ def test_two_level_priming_is_exact():
     assert (ot[occ0] >= 0).all() and (ot[~occ0] == -1).all()
 
 
-@pytest.mark.parametrize("tail_cap", [4, 16])
-def test_tailcap_traversal_matches_uncapped(tail_cap):
-    """MRT_TAILCAP>0 caps each chunk's while loop and finishes survivors in
-    dense continuation batches (_tailcont2 + wide._scatter_state_packed).
-    Capping changes execution SCHEDULE only: hit ids/instances/found must be
-    bit-identical to the uncapped pass, t/u/v exact (same expression graph,
-    same lane order after the scatter)."""
-    import jax.numpy as jnp
-
-    from mrt_tpu.bvh import twolevel
-    from mrt_tpu.core.types import Rays
-
-    scene = _scene()
-    data, statics = scene.compile()
-    bvh = twolevel.build(scene.models, data, statics.skin_slices)
-    rng = np.random.default_rng(5)
-    N = 2048
-    rays = _rays(N, rng)
-    mask = jnp.asarray(rng.random(N) > 0.1)
-    shadow = jnp.asarray(rng.random(N) > 0.5)
-
-    a = twolevel._traverse_chunked2(bvh, rays, 1e-4, mask, shadow, None,
-                                    chunks=4, unroll=2, tail_cap=0)
-    t = twolevel._traverse_chunked2(bvh, rays, 1e-4, mask, shadow, None,
-                                    chunks=4, unroll=2, tail_cap=tail_cap)
-    np.testing.assert_array_equal(np.asarray(a["best_tri"]),
-                                  np.asarray(t["best_tri"]))
-    np.testing.assert_array_equal(np.asarray(a["best_inst"]),
-                                  np.asarray(t["best_inst"]))
-    np.testing.assert_array_equal(np.asarray(a["found"]), np.asarray(t["found"]))
-    np.testing.assert_array_equal(np.asarray(a["best_t"]), np.asarray(t["best_t"]))
-    np.testing.assert_array_equal(np.asarray(a["best_u"]), np.asarray(t["best_u"]))
-    np.testing.assert_array_equal(np.asarray(a["best_v"]), np.asarray(t["best_v"]))
