@@ -116,14 +116,20 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
         depth = jax.lax.pmean(out.depth, "sp")
         motion = jax.lax.pmean(out.motion, "sp")
 
+        # Aggregate instrumented traversal launches across the whole mesh so
+        # scripts/bench_multichip.py reports the same honest ray count the
+        # single-chip bench does (closest-hit + any-hit shadow actually run).
+        rays = jnp.sum(out.rays_traced.astype(jnp.int64))
+        rays = jax.lax.psum(jax.lax.psum(rays, "dp"), "sp")
+
         accum = acc.accumulate(settings, uniforms, color, motion, prev_motion_blk, prev_accum_blk)
-        return accum, depth, motion, scene.positions_obj
+        return accum, depth, motion, scene.positions_obj, rays
 
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("dp", None), P("dp", None, None), P("dp", None, None), P(), P()),
-        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None), P()),
+        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None), P(), P()),
         check_vma=False,
     )
     return jax.jit(shard)
@@ -190,10 +196,11 @@ class DistributedRenderer:
             previous_camera=self._previous_camera or camera,
             frame_index=self.frame_index,
         )
-        self.accum, self.depth, self.motion, skinned_pos = self.step(
+        self.accum, self.depth, self.motion, skinned_pos, rays = self.step(
             self.scene_data, self.bvh, uniforms, self.offsets, self.accum, self.motion,
             self.skin_bundle, self._joint_matrices,
         )
+        self.last_rays_traced = rays
         if self.statics.skin_slices:
             self.scene_data = self.scene_data._replace(
                 positions_obj=skinned_pos, prev_positions_obj=skinned_pos
