@@ -33,22 +33,26 @@ _LUMA_R, _LUMA_G, _LUMA_B = 0.2126, 0.7152, 0.0722
 _B3 = ((-2, 1 / 16), (-1, 1 / 4), (0, 3 / 8), (1, 1 / 4), (2, 1 / 16))
 
 
-def _kernel(in_hbm, out_ref, scratch, sem, *, step: int, tile: int):
+def _kernel(in_hbm, out_ref, scratch, sem, *, step: int, tile: int,
+            pad_r: int):
     """One row-tile of the à-trous pass. in_hbm: (8, Hp, Wp) padded planes
-    in ANY/HBM; out_ref: (4, tile, W) VMEM block; scratch: (8, tile+4s, Wp)."""
+    in ANY/HBM; out_ref: (4, tile, W) VMEM block; scratch: (8, tile+2*pad_r,
+    Wp). pad_r >= 2*step is the row halo, rounded so the DMA'd slice height
+    tile+2*pad_r is a multiple of the f32 sublane tiling (8) — Mosaic
+    rejects e.g. 12-row HBM->VMEM slices ("must be aligned to tiling (8)")."""
     pad = 2 * step
     i = pl.program_id(0)
-    row0 = i * tile  # top of this tile in UNPADDED coords == padded - pad
+    row0 = i * tile  # top of this tile's halo window in padded coords
 
     dma = pltpu.make_async_copy(
-        in_hbm.at[:, pl.ds(row0, tile + 2 * pad), :], scratch, sem)
+        in_hbm.at[:, pl.ds(row0, tile + 2 * pad_r), :], scratch, sem)
     dma.start()
     dma.wait()
 
     w = out_ref.shape[2]
 
     def plane(c, dr, dc):
-        return scratch[c, pad + dr : pad + dr + tile,
+        return scratch[c, pad_r + dr : pad_r + dr + tile,
                        pad + dc : pad + dc + w]
 
     def luma(r, g, b):
@@ -105,18 +109,28 @@ def atrous_pass_pallas(demod, var, normal, depth, *, step: int,
     ])  # (8, H, W)
     n_tiles = pl.cdiv(h, tile)
     h_pad = n_tiles * tile
-    planes = jnp.pad(planes, ((0, 0), (pad, pad + (h_pad - h)), (pad, pad)),
-                     mode="edge")
+    # Mosaic alignment rules discovered on-device (PERF.md round 4f):
+    # - the DMA'd VMEM scratch's LANE dim must be a multiple of 128 (e.g.
+    #   520-lane scratch DMAs crash the remote compile; 512 and 640 fine —
+    #   scripts/atrous_bisect3.py), and
+    # - the DMA slice HEIGHT (sublane dim) must be a multiple of 8 (step=1's
+    #   tile+4 rows -> "Slice shape along dimension 1 must be aligned to
+    #   tiling (8)"). Round the row halo up to a multiple of 4 so
+    #   tile+2*pad_r stays 8-aligned; the extra rows/columns are never read.
+    pad_r = -(-pad // 4) * 4
+    w_dma = -(-(w + 2 * pad) // 128) * 128
+    planes = jnp.pad(planes, ((0, 0), (pad_r, pad_r + (h_pad - h)),
+                              (pad, w_dma - w - pad)), mode="edge")
 
     out = pl.pallas_call(
-        functools.partial(_kernel, step=step, tile=tile),
+        functools.partial(_kernel, step=step, tile=tile, pad_r=pad_r),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((4, tile, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, h_pad, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, tile + 2 * pad, w + 2 * pad), jnp.float32),
+            pltpu.VMEM((8, tile + 2 * pad_r, w_dma), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -25,6 +25,10 @@ def main():
     np.asarray(jnp.zeros((3,), jnp.float32))  # poison: honest timings below
     rng = np.random.default_rng(0)
     h, w = 540, 960  # cfg5 render res (1080p x 0.5 render scale)
+    if "--res" in sys.argv:  # e.g. --res 1080x1920 (4K output at scale 0.5)
+        i = sys.argv.index("--res")
+        h, w = (int(x) for x in sys.argv[i + 1].split("x"))
+        del sys.argv[i:i + 2]
     demod = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
     var = jnp.asarray(rng.random((h, w)) * 0.1, jnp.float32)
     nrm = rng.normal(size=(h, w, 3))
@@ -46,8 +50,46 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, out
 
+    if "--slope" in sys.argv:
+        # Per-pass cost below the dispatch RTT: chain K passes inside ONE
+        # jitted program (output feeds back as next demod/var, steps cycle
+        # 1,2,4,8 like the real SVGF loop), slope-time K=2 vs K=42. The
+        # 40-pass delta swamps the ~±2 ms dispatch-RTT noise that made the
+        # first 8-pass slope incoherent (0.008 vs 0.266 ms/pass xla).
+        sys.argv.remove("--slope")
+        tile = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+        def chain_xla(k):
+            @jax.jit
+            def f(d, v, n, z):
+                for i in range(k):
+                    l = d @ jnp.asarray([_ for _ in (0.2126, 0.7152, 0.0722)],
+                                        jnp.float32)
+                    d, v = D._atrous_pass(d, v, l, n, z, 1 << (i % 4), h, w)
+                return d, v
+            return f
+
+        def chain_pal(k):
+            @jax.jit
+            def f(d, v, n, z):
+                for i in range(k):
+                    d, v = A.atrous_pass_pallas(d, v, n, z,
+                                                step=1 << (i % 4), tile=tile)
+                return d, v
+            return f
+
+        for name, mk in (("xla", chain_xla), ("pallas", chain_pal)):
+            t2, _ = timed(mk(2), demod, var, normal, depth)
+            t42, _ = timed(mk(42), demod, var, normal, depth)
+            print(json.dumps(dict(case=f"slope_{name}", tile=tile, res=f"{h}x{w}",
+                                  ms_per_pass=round((t42 - t2) / 40 * 1e3, 3),
+                                  t2_ms=round(t2 * 1e3, 2),
+                                  t42_ms=round(t42 * 1e3, 2))), flush=True)
+        return
+
+    tiles = tuple(int(t) for t in sys.argv[1:]) or (32, 64, 128)
     t_x, (rf, rv) = timed(xla, demod, var, lum, normal, depth)
-    for tile in (32, 64, 128):
+    for tile in tiles:
         try:
             t_p, (gf, gv) = timed(
                 lambda d, v, n, z, _t=tile: A.atrous_pass_pallas(
