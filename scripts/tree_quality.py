@@ -62,6 +62,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alt", default="/tmp/libmrt_native_v2.so")
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--dragon", type=int, default=None, metavar="SUBDIV",
+                    help="use the dragon_1m-class scene (bench.py's "
+                         "dragon_subdivisions; 8 = 1.31M tris) instead of "
+                         "the flagship app scene")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,8 @@ def main():
     from mrt_tpu.utils import native
 
     size = args.size
-    scene = make_app_scene(width=size, height=size, include_robot=False)
+    scene = make_app_scene(width=size, height=size, include_robot=False,
+                           dragon_subdivisions=args.dragon)
     r = Renderer(scene, output_width=size, output_height=size)
     r.upscaler_mode = UPSCALER_OFF
     sd = r.scene_data
