@@ -20,23 +20,13 @@ import jax.numpy as jnp
 
 _LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
 
-# à-trous backend: the Pallas kernel (kernels/atrous.py) DMAs each row
-# tile's halo into VMEM once and computes all 25 taps resident — one HBM
-# read per plane per pass vs the XLA formulation's 25 shifted windows.
-# auto = Pallas on TPU, XLA elsewhere (interpret-mode Pallas is test-only).
-_ATROUS_IMPL = os.environ.get("MRT_ATROUS", "xla")  # xla | pallas | auto
-
-
-def _use_pallas_atrous() -> bool:
-    # default stays XLA until scripts/atrous_tpu_check.py validates the
-    # Mosaic kernel on a real chip (a compile failure or device fault in
-    # the render path could wedge the axon device) — flip the default to
-    # "auto" once the TPU smoke passes
-    if _ATROUS_IMPL == "pallas":
-        return True
-    if _ATROUS_IMPL == "xla":
-        return False
-    return jax.default_backend() == "tpu"
+# à-trous backend: XLA only. A halo-tiled Pallas kernel (one VMEM-resident
+# DMA per row tile, all 25 taps computed resident) was built, debugged
+# through two Mosaic alignment failures, and measured on TPU: it LOSES
+# 2.2x to this XLA formulation at 540x960 (0.381 vs 0.174 ms/pass, honest
+# 40-pass chained slope) and OOMs scoped VMEM at 1080p — XLA's fusion of
+# the 25 shifted windows is already the right TPU program. PERF.md round
+# 4f; the kernel lives in git history (kernels/atrous.py, deleted).
 
 
 class DenoiseState(NamedTuple):
@@ -168,17 +158,10 @@ def svgf_filter(
     # --- variance-guided à-trous wavelet filtering ---------------------------
     filtered = demod_i
     fvar = var
-    if _use_pallas_atrous():
-        from ..kernels.atrous import atrous_pass_pallas
-
-        for i in range(n_passes):
-            filtered, fvar = atrous_pass_pallas(
-                filtered, fvar, normal, depth, step=1 << i)
-    else:
+    flum = filtered @ _LUMA
+    for i in range(n_passes):
+        filtered, fvar = _atrous_pass(filtered, fvar, flum, normal, depth, 1 << i, h, w)
         flum = filtered @ _LUMA
-        for i in range(n_passes):
-            filtered, fvar = _atrous_pass(filtered, fvar, flum, normal, depth, 1 << i, h, w)
-            flum = filtered @ _LUMA
 
     return filtered * albedo, new_state
 

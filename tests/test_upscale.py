@@ -177,30 +177,3 @@ def test_reinhard_tonemap():
     c = jnp.asarray([0.0, 1.0, 3.0, 1e6])
     out = np.asarray(reinhard_tonemap(c))
     np.testing.assert_allclose(out, [0.0, 0.5, 0.75, 1.0], atol=1e-4)
-
-
-def test_pallas_atrous_matches_xla_pass():
-    """kernels/atrous.py (halo-tiled Pallas, interpret mode on CPU) must
-    reproduce denoise._atrous_pass to float epsilon for every dilation the
-    SVGF chain uses."""
-    from mrt_tpu.kernels import atrous as A
-    from mrt_tpu.upscale import denoise as D
-
-    rng = np.random.default_rng(0)
-    h, w = 96, 160
-    demod = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
-    var = jnp.asarray(rng.random((h, w)) * 0.1, jnp.float32)
-    nrm = rng.normal(size=(h, w, 3))
-    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    normal = jnp.asarray(nrm, jnp.float32)
-    depth = jnp.asarray(1.0 + rng.random((h, w)) * 5, jnp.float32)
-    lum = demod @ jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
-
-    for step in (1, 2, 4):
-        ref_f, ref_v = D._atrous_pass(demod, var, lum, normal, depth, step, h, w)
-        got_f, got_v = A.atrous_pass_pallas(
-            demod, var, normal, depth, step=step, tile=32, interpret=True)
-        np.testing.assert_allclose(np.asarray(ref_f), np.asarray(got_f),
-                                   rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(ref_v), np.asarray(got_v),
-                                   rtol=1e-5, atol=1e-5)
