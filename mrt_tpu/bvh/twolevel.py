@@ -28,6 +28,8 @@ flattened design).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,7 +80,8 @@ class TwoLevelBVH:
                  flat_tri_base, flat_tri_inst, skin_indices,
                  n_internal: int, n_leaf: int, n_instances: int, tlas_n: int,
                  tlas_depth: int, mesh_meta: tuple, inst_mesh: tuple,
-                 stack_bound: int | None = None, inst_masks: tuple | None = None):
+                 stack_bound: int | None = None, inst_masks: tuple | None = None,
+                 leaf_clip=None):
         self.table = table  # (N, ROW) f32
         self.node_child = node_child  # (NI, ARITY) int32 global entry ids
         self.leaf_tri = leaf_tri  # (NL, LEAF_K) int32 LOCAL mesh tri ids
@@ -104,6 +107,10 @@ class TwoLevelBVH:
         # ShaderTypes.h:26-33); all-default compiles to mask-free traversal
         self.inst_masks = (tuple(GEOMETRY_MASK_GEOMETRY for _ in range(self.n_instances))
                            if inst_masks is None else tuple(int(m) for m in inst_masks))
+        # SBVH: (NL, 6) f32 per-leaf clip boxes (object space) or None —
+        # refit intersects computed leaf bounds with them; skinned groups'
+        # rows hold ±inf (no-op clamp), see build()
+        self.leaf_clip = leaf_clip
 
     @property
     def has_masks(self) -> bool:
@@ -115,7 +122,7 @@ class TwoLevelBVH:
         return (
             (self.table, self.node_child, self.leaf_tri, self.root_bmin,
              self.root_bmax, self.flat_tri_base, self.flat_tri_inst,
-             self.skin_indices),
+             self.skin_indices, self.leaf_clip),
             (self.n_internal, self.n_leaf, self.n_instances, self.tlas_n,
              self.tlas_depth, self.mesh_meta, self.inst_mesh,
              self.stack_bound, self.inst_masks),
@@ -123,7 +130,7 @@ class TwoLevelBVH:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:-1], *aux, leaf_clip=children[-1])
 
     def _replace(self, **kw):
         d = dict(
@@ -135,7 +142,7 @@ class TwoLevelBVH:
             n_instances=self.n_instances, tlas_n=self.tlas_n,
             tlas_depth=self.tlas_depth, mesh_meta=self.mesh_meta,
             inst_mesh=self.inst_mesh, stack_bound=self.stack_bound,
-            inst_masks=self.inst_masks,
+            inst_masks=self.inst_masks, leaf_clip=self.leaf_clip,
         )
         d.update(kw)
         return TwoLevelBVH(**d)
@@ -181,12 +188,14 @@ def _tlas_topology(n_inst: int):
     return nodes, depth
 
 
-def _mesh_topology(obj_tris: np.ndarray):
-    """(Tm,9) object-space tris -> (node_child_local, leaf_tri, depth).
-    Children local numbering: internal [0, ni), leaf [ni, ni+nl)."""
+def _mesh_topology(obj_tris: np.ndarray, spatial: bool = False):
+    """(Tm,9) object-space tris -> (node_child_local, leaf_tri, depth,
+    leaf_clip or None). Children local numbering: internal [0, ni),
+    leaf [ni, ni+nl). spatial=True = SBVH reference splitting (static
+    meshes only: the clip boxes pin leaf bounds to the BUILD-time verts)."""
     from ..utils import native
 
-    out = native.build_wide_bvh_sah(obj_tris)
+    out = native.build_wide_bvh_sah(obj_tris, spatial=spatial)
     if out is not None:
         return out
     v0 = obj_tris[:, 0:3]
@@ -194,7 +203,7 @@ def _mesh_topology(obj_tris: np.ndarray):
     v2 = obj_tris[:, 6:9]
     centroids = (v0 + v1 + v2) / 3.0
     bl, br, _, order, _ = lbvh.build_topology(centroids)
-    return build_topology_wide(bl, br, order)
+    return (*build_topology_wide(bl, br, order), None)
 
 
 def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
@@ -246,6 +255,14 @@ def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
     tlas_nodes, tlas_depth = _tlas_topology(n_inst)
     tlas_n = len(tlas_nodes)
 
+    # SBVH spatial splits for STATIC groups only (object-space verts are
+    # immutable there — instance moves are transform updates; skinned
+    # groups re-pose every frame, so stale clip boxes would cut geometry).
+    # Default OFF: ranked a measured negative offline (PERF.md round 4h —
+    # app-scene paid pops −2%, dragon +4%; per-BLAS meshes are uniform
+    # blobs where splitting buys nothing, and the scene-spanning planes
+    # are separate instances the TLAS already isolates).
+    sbvh_on = os.environ.get("MRT_SBVH", "0") == "1"
     topos = []
     for g in groups:
         pos = np.asarray(g["positions"], np.float32)
@@ -253,7 +270,7 @@ def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
         tris = np.concatenate(
             [pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]], axis=1
         )
-        topos.append(_mesh_topology(tris))
+        topos.append(_mesh_topology(tris, spatial=sbvh_on and not g["skinned"]))
 
     n_int_total = tlas_n + sum(t[0].shape[0] for t in topos)
     n_leaf_total = sum(t[1].shape[0] for t in topos)
@@ -261,12 +278,19 @@ def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
 
     node_child = np.full((n_int_total, ARITY), -1, np.int32)
     leaf_tri = np.full((n_leaf_total, LEAF_K), -1, np.int32)
+    any_clip = any(t[3] is not None for t in topos)
+    leaf_clip = None
+    if any_clip:  # ±inf default = no-op clamp for skinned/unclipped groups
+        leaf_clip = np.full((n_leaf_total, 6), np.inf, np.float32)
+        leaf_clip[:, :3] = -np.inf
     mesh_meta = []
     int_cursor = tlas_n
     leaf_cursor = 0
     skin_indices = []
-    for gi, (g, (child, leaf, depth)) in enumerate(zip(groups, topos)):
+    for gi, (g, (child, leaf, depth, clip)) in enumerate(zip(groups, topos)):
         ni, nl = child.shape[0], leaf.shape[0]
+        if clip is not None:
+            leaf_clip[leaf_cursor : leaf_cursor + nl] = clip
         # offset local child ids -> global entries
         c = child.copy()
         is_int = (c >= 0) & (c < ni)
@@ -324,6 +348,7 @@ def build(models, scene_data, skin_slices=(), host_mirror=None) -> TwoLevelBVH:
         inst_masks=tuple(
             int(getattr(m, "geometry_mask", GEOMETRY_MASK_GEOMETRY)) for m in models
         ),
+        leaf_clip=None if leaf_clip is None else jnp.asarray(leaf_clip),
     )
     # initial full refit fills every BLAS + instance + TLAS row
     all_indices = tuple(jnp.asarray(g["indices_local"]) for g in groups)
@@ -371,6 +396,12 @@ def _refit_group(table, root_bmin, root_bmax, bvh, gi, verts, idx):
         return jnp.take(v, tid.reshape(-1), axis=0).reshape(nl, LEAF_K, 3)
 
     leaf_rows, leaf_bmin, leaf_bmax = _pack_leaf_rows(g(v0), g(v1), g(v2), leaf_ids)
+    if bvh.leaf_clip is not None:
+        # SBVH: pin leaf bounds to the builder's clipped reference boxes
+        # (±inf rows for skinned groups make this a no-op clamp there)
+        clip = bvh.leaf_clip[leaf_lo : leaf_lo + nl]
+        leaf_bmin = jnp.maximum(leaf_bmin, clip[:, :3])
+        leaf_bmax = jnp.minimum(leaf_bmax, clip[:, 3:])
     table = table.at[bvh.n_internal + leaf_lo : bvh.n_internal + leaf_lo + nl].set(leaf_rows)
     if ni == 0:
         root_bmin = root_bmin.at[gi].set(leaf_bmin[0])

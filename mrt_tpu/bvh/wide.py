@@ -201,7 +201,7 @@ class WideBVH:
     them (they define trace structure, not data)."""
 
     def __init__(self, table, node_child, leaf_tri, n_internal: int, depth: int,
-                 stack_bound: int | None = None):
+                 stack_bound: int | None = None, leaf_clip=None):
         self.table = table  # (N, ROW) f32 unified gather table
         self.node_child = node_child  # (Ni, ARITY) int32 entry ids, -1 = empty
         self.leaf_tri = leaf_tri  # (Nl, LEAF_K) int32 original tri ids, -1 = pad
@@ -210,6 +210,10 @@ class WideBVH:
         # exact per-tree worst-case stack occupancy (see exact_stack_bound);
         # None falls back to the depth heuristic
         self.stack_bound = None if stack_bound is None else int(stack_bound)
+        # SBVH: (Nl, 6) f32 per-leaf clip boxes [mn xyz, mx xyz] from the
+        # spatial-split builder; refit intersects leaf bounds with them.
+        # ONLY valid for static geometry (the verts the builder saw).
+        self.leaf_clip = leaf_clip
 
     @property
     def n_rows(self) -> int:
@@ -223,17 +227,19 @@ class WideBVH:
             n_internal=self.n_internal,
             depth=self.depth,
             stack_bound=self.stack_bound,
+            leaf_clip=self.leaf_clip,
         )
         d.update(kw)
         return WideBVH(**d)
 
     def tree_flatten(self):
-        return (self.table, self.node_child, self.leaf_tri), (
+        return (self.table, self.node_child, self.leaf_tri, self.leaf_clip), (
             self.n_internal, self.depth, self.stack_bound)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        table, node_child, leaf_tri, leaf_clip = children
+        return cls(table, node_child, leaf_tri, *aux, leaf_clip=leaf_clip)
 
 
 # --------------------------------------------------------------------------
@@ -387,6 +393,12 @@ def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     small = jnp.where(valid[:, :, None, None], stacked, -jnp.inf)
     leaf_bmin = jnp.min(big, axis=(1, 2)) - 1e-7  # (Nl, 3)
     leaf_bmax = jnp.max(small, axis=(1, 2)) + 1e-7
+    if wbvh.leaf_clip is not None:
+        # SBVH: honor the builder's clipped reference bounds — without this
+        # clamp a triangle split across leaves re-expands BOTH leaf boxes to
+        # its full extent and the spatial split buys nothing
+        leaf_bmin = jnp.maximum(leaf_bmin, wbvh.leaf_clip[:, :3])
+        leaf_bmax = jnp.minimum(leaf_bmax, wbvh.leaf_clip[:, 3:])
 
     if n_i == 0:
         return wbvh._replace(table=leaf_rows)
@@ -429,25 +441,34 @@ def refit(wbvh: WideBVH, v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     return wbvh._replace(table=table)
 
 
-def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, method: str = "auto") -> WideBVH:
+def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, method: str = "auto",
+          spatial: bool = False) -> WideBVH:
     """Host topology build -> device refit.
 
     method: "sah" (native binned-SAH builder, best quality), "lbvh" (Karras
     Morton tree + collapse, pure NumPy), or "auto" (SAH when the native
     library loads, else LBVH) — the capability-probe seam.
+
+    spatial=True enables SBVH reference splitting (native builder only):
+    the returned tree carries per-leaf clip boxes that refit honors. ONLY
+    for geometry that will never be refit with different vertices — the
+    flat renderer path refits moved/skinned verts through the same
+    topology, so it must pass spatial=False (the two-level path enables it
+    per non-skinned BLAS group instead).
     """
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
 
     child = None
+    clip = None
     if method in ("auto", "sah"):
         from ..utils import native
 
         tri_verts = np.concatenate([v0, v1, v2], axis=1)  # (T, 9)
-        out = native.build_wide_bvh_sah(tri_verts)
+        out = native.build_wide_bvh_sah(tri_verts, spatial=spatial)
         if out is not None:
-            child, leaf, depth = out
+            child, leaf, depth, clip = out
         elif method == "sah":
             raise RuntimeError("native SAH builder unavailable")
     if child is None:
@@ -466,6 +487,7 @@ def build(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, method: str = "auto") 
         n_internal=n_i,
         depth=depth,
         stack_bound=bound,
+        leaf_clip=None if clip is None else jnp.asarray(clip),
     )
     # jit: eager per-op dispatch of the refit graph is seconds of host overhead
     return jax.jit(refit)(wbvh, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2))

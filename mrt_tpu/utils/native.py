@@ -40,10 +40,16 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.mrt_build_wide_bvh.restype = ctypes.c_int
+        lib.mrt_build_wide_bvh_sp.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mrt_build_wide_bvh_sp.restype = ctypes.c_int
         lib.mrt_wide_n_internal.restype = ctypes.c_int32
         lib.mrt_wide_n_leaves.restype = ctypes.c_int32
         lib.mrt_wide_depth.restype = ctypes.c_int32
         lib.mrt_wide_fetch.argtypes = [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.mrt_wide_fetch_clip.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.mrt_obj_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.mrt_obj_parse.restype = ctypes.c_int
         lib.mrt_obj_n_vertices.restype = ctypes.c_int64
@@ -59,12 +65,20 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_wide_bvh_sah(tri_verts: np.ndarray, arity: int | None = None, leaf_k: int | None = None):
+def build_wide_bvh_sah(tri_verts: np.ndarray, arity: int | None = None,
+                       leaf_k: int | None = None, spatial: bool = False):
     """Binned-SAH wide topology. tri_verts: (T, 9) f32 [v0 v1 v2].
 
-    Returns (node_child (Ni,ARITY) int32, leaf_tri (Nl,LEAF_K) int32, depth)
-    or None if the native library is unavailable. arity/leaf_k default to
-    bvh.wide's tuned ARITY/LEAF_K.
+    Returns (node_child (Ni,ARITY) int32, leaf_tri (Nl,LEAF_K) int32, depth,
+    leaf_clip) or None if the native library is unavailable. arity/leaf_k
+    default to bvh.wide's tuned ARITY/LEAF_K.
+
+    spatial=True enables SBVH reference splitting (PERF.md round 4g) and
+    returns per-leaf clip boxes leaf_clip (Nl, 6) f32 [mn xyz, mx xyz] that
+    refit must intersect into the computed leaf bounds — ONLY valid while
+    the vertices equal what the builder saw (static geometry; stale clips
+    would cut off deformed/moved triangles). spatial=False returns
+    leaf_clip=None.
     """
     lib = _load()
     if lib is None:
@@ -75,8 +89,9 @@ def build_wide_bvh_sah(tri_verts: np.ndarray, arity: int | None = None, leaf_k: 
     LEAF_K = _L if leaf_k is None else leaf_k
     tv = np.ascontiguousarray(tri_verts, np.float32)
     n = tv.shape[0]
-    rc = lib.mrt_build_wide_bvh(
-        tv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, ARITY, LEAF_K
+    rc = lib.mrt_build_wide_bvh_sp(
+        tv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, ARITY, LEAF_K,
+        1 if spatial else 0,
     )
     if rc != 0:
         return None
@@ -90,7 +105,11 @@ def build_wide_bvh_sah(tri_verts: np.ndarray, arity: int | None = None, leaf_k: 
         child.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
-    return child, leaf, depth
+    clip = None
+    if spatial:
+        clip = np.empty((nl, 6), np.float32)
+        lib.mrt_wide_fetch_clip(clip.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return child, leaf, depth, clip
 
 
 def parse_obj_geometry(path: str):

@@ -26,6 +26,7 @@
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -59,31 +60,118 @@ struct AABB {
 struct BinNode {
   AABB bounds;
   int left = -1, right = -1;  // binary children (indices into nodes)
-  int start = 0, count = 0;   // leaf range into tri_order
+  int start = 0, count = 0;   // leaf range into final_order (ref ids)
 };
 
+// Clip a triangle polygon to the axis slab [lo, hi] (Sutherland–Hodgman,
+// two half-space passes) and return the bounds of the clipped polygon.
+// Returns an empty AABB (mn>mx) when the triangle misses the slab.
+static AABB clip_tri_to_slab(const float* v /* 9 floats */, int axis,
+                             float lo, float hi) {
+  float poly[9][3];
+  int np = 3;
+  for (int i = 0; i < 3; ++i)
+    for (int k = 0; k < 3; ++k) poly[i][k] = v[3 * i + k];
+  float out[9][3];
+  auto clip_half = [&](float plane, float sign) {  // keep sign*(x-plane) >= 0
+    int m = 0;
+    for (int i = 0; i < np; ++i) {
+      const float* a = poly[i];
+      const float* b = poly[(i + 1) % np];
+      float da = sign * (a[axis] - plane);
+      float db = sign * (b[axis] - plane);
+      if (da >= 0.f) {
+        for (int k = 0; k < 3; ++k) out[m][k] = a[k];
+        ++m;
+      }
+      if ((da < 0.f) != (db < 0.f)) {
+        float t = da / (da - db);
+        for (int k = 0; k < 3; ++k) out[m][k] = a[k] + t * (b[k] - a[k]);
+        ++m;
+      }
+    }
+    np = m;
+    for (int i = 0; i < np; ++i)
+      for (int k = 0; k < 3; ++k) poly[i][k] = out[i][k];
+  };
+  clip_half(lo, 1.f);
+  if (np) clip_half(hi, -1.f);
+  AABB r;
+  for (int i = 0; i < np; ++i) r.grow(poly[i]);
+  if (np) {  // numeric safety: the slab bounds are exact by construction
+    r.mn[axis] = std::max(r.mn[axis], lo);
+    r.mx[axis] = std::min(r.mx[axis], hi);
+  }
+  return r;
+}
+
+static AABB intersect_aabb(const AABB& a, const AABB& b) {
+  AABB r;
+  for (int k = 0; k < 3; ++k) {
+    r.mn[k] = std::max(a.mn[k], b.mn[k]);
+    r.mx[k] = std::min(a.mx[k], b.mx[k]);
+  }
+  return r;
+}
+
+static bool aabb_valid(const AABB& a) {
+  return a.mn[0] <= a.mx[0] && a.mn[1] <= a.mx[1] && a.mn[2] <= a.mx[2];
+}
+
+// The builder works on REFERENCES (tri id + clipped bounds), the SBVH idea
+// (Stich et al. 2009): when the best object partition's children overlap,
+// a spatial split may be cheaper — triangles straddling the split plane get
+// one clipped reference on each side. On TPU the payoff is the same as on
+// GPUs (fewer overlapping rows visited per ray = fewer gathers), and the
+// clipped leaf bounds are honored at refit via the per-leaf clip boxes
+// (mrt_wide_fetch_clip; wide.refit intersects computed leaf bounds with
+// them — static geometry only, stale clips would cut deformed skins).
 struct Builder {
   const float* verts;  // (T, 9)
   int n_tris;
   int leaf_k;
-  std::vector<AABB> tri_bounds;
-  std::vector<float> centroids;  // (T, 3)
-  std::vector<int> order;        // permuted tri ids
+  bool spatial;
+  int max_refs;     // duplication budget (SBVH unsplits refs beyond it)
+  float root_area;  // for the alpha gate
+  std::vector<AABB> ref_bounds;  // per ref: clipped bounds
+  std::vector<int> ref_tri;      // per ref: triangle id
+  std::vector<float> centroids;  // per ref (3*): tri centroid, box center
+                                 // after a spatial split
+  std::vector<int> final_order;  // refs in leaf-emission order
   std::vector<BinNode> nodes;
 
-  int build_binary(int start, int count) {
+  // Stich's overlap gate; env-tunable for offline alpha sweeps
+  static float sbvh_alpha() {
+    static float a = [] {
+      const char* e = std::getenv("MRT_SBVH_ALPHA");
+      return e ? (float)std::atof(e) : 1e-5f;
+    }();
+    return a;
+  }
+
+  int add_ref(int tri, const AABB& b) {
+    ref_tri.push_back(tri);
+    ref_bounds.push_back(b);
+    for (int k = 0; k < 3; ++k)
+      centroids.push_back(0.5f * (b.mn[k] + b.mx[k]));
+    return (int)ref_tri.size() - 1;
+  }
+
+  int build_binary(std::vector<int> refs) {
     BinNode node;
-    node.start = start;
-    node.count = count;
+    const int count = (int)refs.size();
     AABB cb;  // centroid bounds
-    for (int i = start; i < start + count; ++i) {
-      node.bounds.grow(tri_bounds[order[i]]);
-      cb.grow(&centroids[3 * order[i]]);
+    for (int r : refs) {
+      node.bounds.grow(ref_bounds[r]);
+      cb.grow(&centroids[3 * r]);
     }
     // Split to SINGLETON leaves: the DP collapse below owns leaf formation
     // (it can merge any <=LEAF_K-triangle subtree into one leaf row), so the
     // binary phase only provides topology options, never forces a leaf.
     if (count <= 1) {
+      node.start = (int)final_order.size();
+      node.count = count;
+      for (int r : refs) final_order.push_back(r);
       nodes.push_back(node);
       return (int)nodes.size() - 1;
     }
@@ -91,7 +179,7 @@ struct Builder {
     float ext[3];
     for (int k = 0; k < 3; ++k) ext[k] = cb.mx[k] - cb.mn[k];
 
-    int mid = -1;
+    std::vector<int> lrefs, rrefs;
     if (count <= 64) {
       // exact sweep with the FLAT-ROW cost model: a subtree of c tris costs
       // at least ceil(c/LEAF_K) leaf rows of ~this area, so weigh areas by
@@ -100,7 +188,7 @@ struct Builder {
       int best_axis = -1, best_pos = -1;
       static thread_local std::vector<int> tmp;
       static thread_local std::vector<float> larea;
-      tmp.assign(order.begin() + start, order.begin() + start + count);
+      tmp = refs;
       larea.resize(count);
       for (int axis = 0; axis < 3; ++axis) {
         if (ext[axis] < 1e-12f) continue;
@@ -109,12 +197,12 @@ struct Builder {
         });
         AABB acc;
         for (int i = 0; i < count - 1; ++i) {
-          acc.grow(tri_bounds[tmp[i]]);
+          acc.grow(ref_bounds[tmp[i]]);
           larea[i] = acc.area();
         }
         AABB racc;
         for (int i = count - 1; i >= 1; --i) {
-          racc.grow(tri_bounds[tmp[i]]);
+          racc.grow(ref_bounds[tmp[i]]);
           float cost = larea[i - 1] * ((i + leaf_k - 1) / leaf_k)
                      + racc.area() * ((count - i + leaf_k - 1) / leaf_k);
           if (cost < best_cost) {
@@ -128,14 +216,15 @@ struct Builder {
         std::sort(tmp.begin(), tmp.end(), [&](int a, int c) {
           return centroids[3 * a + best_axis] < centroids[3 * c + best_axis];
         });
-        std::copy(tmp.begin(), tmp.end(), order.begin() + start);
-        mid = start + best_pos;
+        lrefs.assign(tmp.begin(), tmp.begin() + best_pos);
+        rrefs.assign(tmp.begin() + best_pos, tmp.end());
       }
     } else {
       // binned SAH over the widest centroid axis (3-axis binning measured
       // WORSE under the DP collapse — tree_quality round 4)
       float best_cost = FLT_MAX;
       int best_axis = -1, best_split = -1;
+      AABB best_lb, best_rb;  // for the overlap (alpha) gate
       int wax = 0;
       if (ext[1] > ext[wax]) wax = 1;
       if (ext[2] > ext[wax]) wax = 2;
@@ -144,16 +233,17 @@ struct Builder {
         AABB bin_bounds[NBINS];
         int bin_count[NBINS] = {0};
         float scale = NBINS / ext[axis];
-        auto bin_of = [&](int tri) {
-          int b = (int)((centroids[3 * tri + axis] - cb.mn[axis]) * scale);
+        auto bin_of = [&](int r) {
+          int b = (int)((centroids[3 * r + axis] - cb.mn[axis]) * scale);
           return std::min(std::max(b, 0), NBINS - 1);
         };
-        for (int i = start; i < start + count; ++i) {
-          int b = bin_of(order[i]);
+        for (int r : refs) {
+          int b = bin_of(r);
           bin_count[b]++;
-          bin_bounds[b].grow(tri_bounds[order[i]]);
+          bin_bounds[b].grow(ref_bounds[r]);
         }
         float right_area[NBINS];
+        AABB right_box[NBINS];
         AABB acc;
         int right_count[NBINS];
         int rc = 0;
@@ -161,6 +251,7 @@ struct Builder {
           acc.grow(bin_bounds[b]);
           rc += bin_count[b];
           right_area[b] = acc.area();
+          right_box[b] = acc;
           right_count[b] = rc;
         }
         AABB lacc;
@@ -174,28 +265,152 @@ struct Builder {
             best_cost = cost;
             best_axis = axis;
             best_split = b;
+            best_lb = lacc;
+            best_rb = right_box[b + 1];
           }
         }
       }
-      if (best_axis >= 0) {
+
+      // SBVH spatial-split candidate: evaluated only when the best object
+      // split's children overlap more than ALPHA of the root area (Stich's
+      // gate bounds reference duplication to where it pays).
+      bool spatial_won = false;
+      int sp_axis = -1, sp_split = -1;
+      float sp_lo = 0.f, sp_width = 0.f;
+      if (spatial && best_axis >= 0 &&
+          intersect_aabb(best_lb, best_rb).area() > sbvh_alpha() * root_area) {
+        // widest node axis ONLY: 3-axis spatial binning ranked strictly
+        // worse offline (camera 7.29 vs 5.79 used pops, app scene), the
+        // same pattern as 3-axis object binning under the DP collapse
+        int axis = 0;
+        float nxt[3] = {node.bounds.mx[0] - node.bounds.mn[0],
+                        node.bounds.mx[1] - node.bounds.mn[1],
+                        node.bounds.mx[2] - node.bounds.mn[2]};
+        if (nxt[1] > nxt[axis]) axis = 1;
+        if (nxt[2] > nxt[axis]) axis = 2;
+        float lo = node.bounds.mn[axis];
+        float extent = nxt[axis];
+        if (extent > 1e-12f) {
+          float width = extent / NBINS;
+          AABB bin_bounds[NBINS];
+          int entry[NBINS] = {0}, exit_[NBINS] = {0};
+          for (int r : refs) {
+            const AABB& rb = ref_bounds[r];
+            int b0 = std::min(std::max((int)((rb.mn[axis] - lo) / width), 0),
+                              NBINS - 1);
+            int b1 = std::min(std::max((int)((rb.mx[axis] - lo) / width), 0),
+                              NBINS - 1);
+            entry[b0]++;
+            exit_[b1]++;
+            if (b0 == b1) {
+              bin_bounds[b0].grow(rb);
+            } else {
+              const float* tv = verts + 9 * ref_tri[r];
+              for (int b = b0; b <= b1; ++b) {
+                AABB c = clip_tri_to_slab(tv, axis, lo + b * width,
+                                          lo + (b + 1) * width);
+                c = intersect_aabb(c, rb);
+                if (aabb_valid(c)) bin_bounds[b].grow(c);
+              }
+            }
+          }
+          float right_area[NBINS];
+          AABB acc;
+          int right_count[NBINS];
+          int rc = 0;
+          for (int b = NBINS - 1; b >= 1; --b) {
+            acc.grow(bin_bounds[b]);
+            rc += exit_[b];
+            right_area[b] = acc.area();
+            right_count[b] = rc;
+          }
+          AABB lacc;
+          int lc = 0;
+          for (int b = 0; b < NBINS - 1; ++b) {
+            lacc.grow(bin_bounds[b]);
+            lc += entry[b];
+            int rcnt = right_count[b + 1];
+            if (lc == 0 || rcnt == 0) continue;
+            float cost = lacc.area() * lc + right_area[b + 1] * rcnt;
+            if (cost < best_cost) {
+              best_cost = cost;
+              spatial_won = true;
+              sp_axis = axis;
+              sp_split = b;
+              sp_lo = lo;
+              sp_width = width;
+            }
+          }
+        }
+      }
+
+      if (spatial_won) {
+        float x = sp_lo + (sp_split + 1) * sp_width;
+        for (int r : refs) {
+          const AABB& rb = ref_bounds[r];
+          if (rb.mx[sp_axis] <= x) {
+            lrefs.push_back(r);
+          } else if (rb.mn[sp_axis] >= x) {
+            rrefs.push_back(r);
+          } else if ((int)ref_tri.size() < max_refs) {
+            const float* tv = verts + 9 * ref_tri[r];
+            AABB lb = intersect_aabb(clip_tri_to_slab(tv, sp_axis,
+                                                      rb.mn[sp_axis], x), rb);
+            AABB rb2 = intersect_aabb(clip_tri_to_slab(tv, sp_axis,
+                                                       x, rb.mx[sp_axis]), rb);
+            if (!aabb_valid(lb)) {
+              rrefs.push_back(r);
+            } else if (!aabb_valid(rb2)) {
+              lrefs.push_back(r);
+            } else {
+              ref_bounds[r] = lb;
+              for (int k = 0; k < 3; ++k)
+                centroids[3 * r + k] = 0.5f * (lb.mn[k] + lb.mx[k]);
+              lrefs.push_back(r);
+              rrefs.push_back(add_ref(ref_tri[r], rb2));
+            }
+          } else {  // budget exhausted: unsplit to the nearer side
+            float c = 0.5f * (rb.mn[sp_axis] + rb.mx[sp_axis]);
+            (c <= x ? lrefs : rrefs).push_back(r);
+          }
+        }
+        if (lrefs.empty() || rrefs.empty()) {  // degenerate: fall back
+          lrefs.clear();
+          rrefs.clear();
+          spatial_won = false;
+        }
+      }
+      if (!spatial_won && best_axis >= 0) {
         int axis = best_axis;
         float scale = NBINS / ext[axis];
         int bs = best_split;
-        auto it = std::partition(
-            order.begin() + start, order.begin() + start + count, [&](int tri) {
-              int bb = (int)((centroids[3 * tri + axis] - cb.mn[axis]) * scale);
-              return std::min(std::max(bb, 0), NBINS - 1) <= bs;
-            });
-        mid = (int)(it - order.begin());
-        if (mid == start || mid == start + count) mid = -1;
+        for (int r : refs) {
+          int bb = (int)((centroids[3 * r + axis] - cb.mn[axis]) * scale);
+          bb = std::min(std::max(bb, 0), NBINS - 1);
+          (bb <= bs ? lrefs : rrefs).push_back(r);
+        }
+        if (lrefs.empty() || rrefs.empty()) {
+          lrefs.clear();
+          rrefs.clear();
+        }
       }
     }
-    if (mid < 0) mid = start + count / 2;  // degenerate: median split
+    if (lrefs.empty() || rrefs.empty()) {  // degenerate: median split
+      lrefs.clear();
+      rrefs.clear();
+      int mid = count / 2;
+      lrefs.assign(refs.begin(), refs.begin() + mid);
+      rrefs.assign(refs.begin() + mid, refs.end());
+    }
+    refs.clear();
+    refs.shrink_to_fit();  // free before recursing: keeps peak memory O(n)
 
-    int left = build_binary(start, mid - start);
-    int right = build_binary(mid, start + count - mid);
+    int left = build_binary(std::move(lrefs));
+    int right = build_binary(std::move(rrefs));
     node.left = left;
     node.right = right;
+    node.start = nodes[left].start;
+    node.count = nodes[left].count + nodes[right].count;
     nodes.push_back(node);
     return (int)nodes.size() - 1;
   }
@@ -211,9 +426,14 @@ extern "C" {
 // build into thread-local storage, then sizes + fetch.
 static thread_local std::vector<int32_t> g_child;
 static thread_local std::vector<int32_t> g_leaf;
+static thread_local std::vector<float> g_leaf_clip;  // (nl, 6) mn xyz, mx xyz
 static thread_local int32_t g_ni = 0, g_nl = 0, g_depth = 0;
 
-int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
+// spatial != 0 enables SBVH reference splitting (Stich et al. 2009 adapted
+// to the flat-row cost model); use 0 for refittable (skinned) geometry —
+// the clipped leaf bounds are only valid for the vertices the builder saw.
+int mrt_build_wide_bvh_sp(const float* verts, int n_tris, int arity,
+                          int leaf_k, int spatial) {
   if (n_tris <= 0 || arity < 2 || arity > 32 || leaf_k < 1) return 1;
   const int ARITY = arity;
   const int LEAF_K = leaf_k;
@@ -221,20 +441,30 @@ int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
   b.verts = verts;
   b.n_tris = n_tris;
   b.leaf_k = leaf_k;
-  b.tri_bounds.resize(n_tris);
-  b.centroids.resize(3 * n_tris);
-  b.order.resize(n_tris);
+  b.spatial = spatial != 0;
+  b.max_refs = n_tris + n_tris / 2;  // ≤1.5x reference duplication
+  b.ref_bounds.reserve(b.max_refs + 8);
+  b.ref_tri.reserve(b.max_refs + 8);
+  b.centroids.reserve(3 * (b.max_refs + 8));
+  b.final_order.reserve(b.max_refs + 8);
+  std::vector<int> all(n_tris);
+  AABB root_box;
   for (int t = 0; t < n_tris; ++t) {
-    b.order[t] = t;
     const float* v = verts + 9 * t;
-    b.tri_bounds[t].grow(v);
-    b.tri_bounds[t].grow(v + 3);
-    b.tri_bounds[t].grow(v + 6);
+    AABB tb;
+    tb.grow(v);
+    tb.grow(v + 3);
+    tb.grow(v + 6);
+    all[t] = b.add_ref(t, tb);
+    // v2 compat: initial centroids are TRIANGLE centroids (box centers only
+    // after a spatial split) — keeps spatial=0 output identical to v2
     for (int k = 0; k < 3; ++k)
       b.centroids[3 * t + k] = (v[k] + v[3 + k] + v[6 + k]) / 3.f;
+    root_box.grow(tb);
   }
-  b.nodes.reserve(2 * n_tris);
-  int root = b.build_binary(0, n_tris);
+  b.root_area = root_box.area();
+  b.nodes.reserve(3 * n_tris);
+  int root = b.build_binary(std::move(all));
 
   // --------------------------------------------------------------------
   // Optimal binary->wide collapse by dynamic programming (the SAH-guided
@@ -287,10 +517,23 @@ int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
   std::vector<std::vector<int>> node_child;  // >=0: internal idx, <0: -(leaf idx)-1
   std::vector<std::vector<int32_t>> leaves;
 
+  std::vector<AABB> leaf_clips;
+
   auto make_leaf = [&](const BinNode& n) {
     std::vector<int32_t> row((size_t)LEAF_K, -1);
-    for (int i = 0; i < n.count && i < LEAF_K; ++i) row[i] = b.order[n.start + i];
+    AABB clip;
+    int m = 0;
+    for (int i = 0; i < n.count; ++i) {
+      int r = b.final_order[n.start + i];
+      clip.grow(b.ref_bounds[r]);
+      int t = b.ref_tri[r];
+      bool dup = false;  // two clipped refs of one tri can land in one leaf
+      for (int j = 0; j < m; ++j)
+        if (row[j] == t) { dup = true; break; }
+      if (!dup && m < LEAF_K) row[m++] = t;
+    }
     leaves.push_back(std::move(row));
+    leaf_clips.push_back(clip);
     return -(int)leaves.size();  // -(idx)-1
   };
 
@@ -383,6 +626,18 @@ int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
   g_leaf.assign((size_t)nl * LEAF_K, -1);
   for (int i = 0; i < nl; ++i)
     for (int j = 0; j < LEAF_K; ++j) g_leaf[(size_t)i * LEAF_K + j] = leaves[i][j];
+  // clip boxes, grown by a safety margin so refit's float recomputation of
+  // the same geometry can never be cut (refit itself pads by 1e-7)
+  g_leaf_clip.resize((size_t)nl * 6);
+  for (int i = 0; i < nl; ++i) {
+    const AABB& c = leaf_clips[i];
+    for (int k = 0; k < 3; ++k) {
+      float eps = 1e-6f * std::max(std::fabs(c.mn[k]), std::fabs(c.mx[k]))
+                + 1e-6f;
+      g_leaf_clip[(size_t)i * 6 + k] = c.mn[k] - eps;
+      g_leaf_clip[(size_t)i * 6 + 3 + k] = c.mx[k] + eps;
+    }
+  }
 
   // depth (refit trip count)
   std::vector<int32_t> depth(ni, 1);
@@ -397,6 +652,11 @@ int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
   return 0;
 }
 
+// Back-compat entry: object splits only (the v2 builder behavior).
+int mrt_build_wide_bvh(const float* verts, int n_tris, int arity, int leaf_k) {
+  return mrt_build_wide_bvh_sp(verts, n_tris, arity, leaf_k, 0);
+}
+
 int32_t mrt_wide_n_internal() { return g_ni; }
 int32_t mrt_wide_n_leaves() { return g_nl; }
 int32_t mrt_wide_depth() { return g_depth; }
@@ -404,6 +664,14 @@ int32_t mrt_wide_depth() { return g_depth; }
 void mrt_wide_fetch(int32_t* child_out, int32_t* leaf_out) {
   std::memcpy(child_out, g_child.data(), g_child.size() * sizeof(int32_t));
   std::memcpy(leaf_out, g_leaf.data(), g_leaf.size() * sizeof(int32_t));
+}
+
+// Per-leaf clip boxes (nl x 6 f32: mn xyz, mx xyz): the bounds the builder
+// intended for each leaf row. With spatial splits these are TIGHTER than
+// the union of full-triangle bounds; refit intersects with them (static
+// geometry only).
+void mrt_wide_fetch_clip(float* clip_out) {
+  std::memcpy(clip_out, g_leaf_clip.data(), g_leaf_clip.size() * sizeof(float));
 }
 
 // ---------------------------------------------------------------------------

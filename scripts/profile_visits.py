@@ -118,7 +118,7 @@ def main():
 
     for arity, leaf_k in ((12, 8), (16, 16), (24, 24), (32, 32), (32, 48), (48, 48), (64, 64)):
         out = native.build_wide_bvh_sah(tv9, arity, leaf_k)
-        child, leaf, depth = out
+        child, leaf, depth, _clip = out
         ni = child.shape[0]
         bmin, bmax, lbmin, lbmax = compute_bounds(child, leaf, tri_v, ni)
         t0 = time.time()

@@ -31,7 +31,7 @@ def alt_builder(so_path):
     lib.mrt_wide_depth.restype = ctypes.c_int32
     lib.mrt_wide_fetch.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 2
 
-    def build(tri_verts, arity=None, leaf_k=None):
+    def build(tri_verts, arity=None, leaf_k=None, spatial=False):
         from mrt_tpu.bvh.wide import ARITY as _A, LEAF_K as _L
         A = _A if arity is None else arity
         L = _L if leaf_k is None else leaf_k
@@ -46,7 +46,7 @@ def alt_builder(so_path):
         leaf = np.empty((nl, L), np.int32)
         lib.mrt_wide_fetch(child.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                            leaf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-        return child, leaf, depth
+        return child, leaf, depth, None
 
     return build
 
@@ -66,6 +66,9 @@ def main():
                     help="use the dragon_1m-class scene (bench.py's "
                          "dragon_subdivisions; 8 = 1.31M tris) instead of "
                          "the flagship app scene")
+    ap.add_argument("--sbvh", action="store_true",
+                    help="rank the SBVH spatial-split tree (wide.build "
+                         "spatial=True) alongside the shipped object-split one")
     args = ap.parse_args()
 
     import jax
@@ -101,16 +104,19 @@ def main():
     o = np.broadcast_to(np.asarray(cam.position), (P, 3)).astype(np.float32)
 
     builders = {"shipped": None}
+    if args.sbvh:
+        builders["sbvh"] = "sbvh"
     if args.alt and os.path.exists(args.alt):
         builders[os.path.basename(args.alt)] = alt_builder(args.alt)
 
     for name, bld in builders.items():
         orig = native.build_wide_bvh_sah
-        if bld is not None:
+        if bld is not None and bld != "sbvh":
             native.build_wide_bvh_sah = bld
         try:
             t0 = time.perf_counter()
-            bvh = wide.build(tv[:, 0:3], tv[:, 3:6], tv[:, 6:9], method="sah")
+            bvh = wide.build(tv[:, 0:3], tv[:, 3:6], tv[:, 6:9], method="sah",
+                             spatial=(bld == "sbvh"))
             bt = time.perf_counter() - t0
         finally:
             native.build_wide_bvh_sah = orig

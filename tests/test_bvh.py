@@ -290,3 +290,41 @@ def test_stack_alloc_clamps_degenerate_bounds():
     # bound 1 — the case that produced width-1 stacks before the clamp
     chain = {0: [1], 1: [2], 2: []}
     assert wide.exact_stack_bound(lambda n: chain[n]) == 1
+
+
+def test_sbvh_spatial_splits_match_lbvh_results():
+    """SBVH (spatial reference splitting + clipped leaf bounds, PERF.md
+    round 4g) must find the same hits as the LBVH twin — including on
+    scene-spanning triangles, the case that actually triggers splits."""
+    from mrt_tpu.bvh import wide
+    from mrt_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(32)
+    v0, v1, v2 = random_tris(600, rng)
+    # two huge floor tris spanning the whole cloud: guaranteed straddlers
+    lo, hi = -10.0, 10.0
+    fv0 = np.array([[lo, 0.0, lo], [lo, 0.0, lo]], np.float32)
+    fv1 = np.array([[hi, 0.0, lo], [hi, 0.0, hi]], np.float32)
+    fv2 = np.array([[hi, 0.0, hi], [lo, 0.0, hi]], np.float32)
+    v0 = np.concatenate([v0, fv0])
+    v1 = np.concatenate([v1, fv1])
+    v2 = np.concatenate([v2, fv2])
+    rays = random_rays(256, rng)
+    sb = wide.build(v0, v1, v2, method="sah", spatial=True)
+    assert sb.leaf_clip is not None
+    # the floor tris must actually be referenced more than once each
+    ids = np.asarray(sb.leaf_tri)
+    assert (ids == 600).sum() + (ids == 601).sum() > 2
+    a = wide.closest_hit(sb, rays)
+    b = wide.closest_hit(wide.build(v0, v1, v2, method="lbvh"), rays)
+    assert (np.asarray(a.triangle >= 0) == np.asarray(b.triangle >= 0)).all()
+    m = np.asarray(a.triangle >= 0)
+    np.testing.assert_allclose(np.asarray(a.t)[m], np.asarray(b.t)[m], rtol=1e-5)
+    # occlusion agrees too
+    capped = rays._replace(max_distance=jnp.full_like(rays.max_distance, 8.0))
+    np.testing.assert_array_equal(
+        np.asarray(wide.any_hit(sb, capped, t_min=1e-4)),
+        np.asarray(wide.any_hit(wide.build(v0, v1, v2, method="lbvh"), capped,
+                                t_min=1e-4)))
