@@ -34,8 +34,11 @@ PRIMES = np.array(
 
 _PRIMES_J = jnp.asarray(PRIMES)
 
-# i < 2^20 (random offset) + frame budget; 32 base-2 digits covers any int32.
-_MAX_DIGITS = 32
+# Digit budget for the generic (base >= 2) path: the f32 divide core is
+# exact for i < 2^24, and 2^24 needs exactly 24 base-2 digits — trips beyond
+# that are dead weight now that the loop is statically unrolled (each extra
+# stage is real VPU work, not a masked no-op inside a while).
+_MAX_DIGITS = 24
 
 # Offsets are arc4random() % 2^20 (Renderer.swift:736).
 RANDOM_OFFSET_MOD = 1 << 20
@@ -50,28 +53,50 @@ def halton_base(i: jnp.ndarray, b: jnp.ndarray,
     for b >= 5 (5^14 > 2^31) — the per-step dimension schedule only ever
     produces bases >= primes[2] = 5, so per-bounce call sites pass 14 and
     skip 18 dead iterations of int div/mod on every lane.
+
+    TPU codegen (docs/PERF.md round 4b): the digit loop is STATICALLY
+    UNROLLED (a ``fori_loop`` here profiled at 112 ms per bounce-dim per
+    2-frame 1080p capture — six of them were 13% of device time; while-loop
+    machinery dominated the ~10 useful trips) and the per-digit divide runs
+    ENTIRELY in f32 via the reciprocal + two-sided fixup below — XLA lowers
+    a vectorized s32 divide-by-traced-divisor to a long multi-op sequence,
+    while the f32 path is 6 VPU ops and bit-exact for every index below
+    2^24 (any real render; see the bound note in the body).
+
+    Bit-identity with the pre-round-4b int loop: digits are the exact
+    ``i % b`` values (f32-represented small ints), ``f`` decays by the same
+    rounded ``1/b`` products, and exhausted lanes (``i == 0``) contribute
+    exact zeros — the old per-trip ``where`` masking was value-neutral and
+    is dropped. Verified digit-exact vs the scalar NumPy oracle across all
+    100 prime bases and adversarial near-multiple indices
+    (tests/test_halton.py).
     """
     i = jnp.asarray(i, jnp.int32)
-    b_f = b.astype(jnp.float32)
+    shape = jnp.broadcast_shapes(i.shape, jnp.shape(b))
+    b_f = jnp.broadcast_to(b, shape).astype(jnp.float32)
     inv_b = 1.0 / b_f
-
-    def body(_, carry):
-        i_cur, f, r = carry
-        active = i_cur > 0
-        f_next = f * inv_b
-        r_next = r + f_next * (i_cur % b).astype(jnp.float32)
-        i_next = i_cur // b
-        return (
-            jnp.where(active, i_next, i_cur),
-            jnp.where(active, f_next, f),
-            jnp.where(active, r_next, r),
-        )
-
-    shape = jnp.broadcast_shapes(i.shape, b.shape)
-    i0 = jnp.broadcast_to(i, shape)
-    f0 = jnp.ones(shape, jnp.float32)
-    r0 = jnp.zeros(shape, jnp.float32)
-    _, _, r = jax.lax.fori_loop(0, max_digits, body, (i0, f0, r0))
+    # f32 holds ints exactly below 2^24; the reciprocal-floor quotient with a
+    # +/-1 fixup is then exact (b <= 541 << 2^24 / i). Indices are
+    # offset (< 2^20) + frame_index * spp — reaching 2^24 would take ~4M
+    # accumulated samples per pixel (hours at any measured FPS, and the
+    # image converged long before); halton_np remains the any-range oracle.
+    i_f = jnp.broadcast_to(i, shape).astype(jnp.float32)
+    f = jnp.ones(shape, jnp.float32)
+    r = jnp.zeros(shape, jnp.float32)
+    for _ in range(max_digits):
+        q = jnp.floor(i_f * inv_b)
+        rem = i_f - q * b_f
+        # floor(i * rn(1/b)) can be off by one in either direction: clamp
+        # the remainder back into [0, b).
+        under = rem < 0.0
+        q = jnp.where(under, q - 1.0, q)
+        rem = jnp.where(under, rem + b_f, rem)
+        over = rem >= b_f
+        q = jnp.where(over, q + 1.0, q)
+        rem = jnp.where(over, rem - b_f, rem)
+        f = f * inv_b
+        r = r + f * rem
+        i_f = q
     return r
 
 
@@ -120,8 +145,11 @@ _STEP_BASES_PAIR_T_F = jnp.asarray(
                    axis=1).T.astype(np.float32)
 )
 
-# base >= 5 everywhere in the step schedule -> 14 digits cover any int32
-STEP_MAX_DIGITS = 14
+# base >= 5 everywhere in the step schedule; the f32 divide core is exact to
+# i < 2^24 and 5^11 > 2^24, so 11 digits cover the entire exact range (the
+# old value 14 targeted "any int32", which the divide core no longer
+# reaches anyway — digits 12-14 were provably dead stages).
+STEP_MAX_DIGITS = 11
 
 
 def step_bases_pair(step: jnp.ndarray):

@@ -51,3 +51,30 @@ def test_pixel_offsets_range():
     offs = np.asarray(H.make_pixel_offsets(jax.random.PRNGKey(1), 16, 32))
     assert offs.shape == (16, 32)
     assert offs.min() >= 0 and offs.max() < H.RANDOM_OFFSET_MOD
+
+
+def test_halton_f32_divide_exact_adversarial():
+    """The unrolled f32 reciprocal-divide core (round 4b) must produce EXACT
+    digits wherever f32 can represent the index (i < 2^24): sweep every
+    prime base with indices sitting directly on/next to quotient boundaries
+    (k*b - 1, k*b, k*b + 1 for k spanning the range) plus dense low ranges
+    and random high ones — bitwise equality vs the scalar int oracle."""
+    rng = np.random.default_rng(7)
+    for d in range(100):
+        b = int(H.PRIMES[d])
+        ks = np.unique(rng.integers(1, (1 << 24) // b, size=64))
+        near = np.concatenate([ks * b - 1, ks * b, ks * b + 1])
+        dense = np.arange(0, 4096, 97)
+        high = rng.integers(1 << 20, 1 << 24, size=64)
+        i = np.unique(np.concatenate([near, dense, high])).astype(np.int64)
+        i = i[(i >= 0) & (i < (1 << 24))].astype(np.int32)
+        got = np.asarray(H.halton(jnp.asarray(i), jnp.full(i.shape, d, jnp.int32)))
+        want = np.array([H.halton_np(int(v), d) for v in i], np.float32)
+        assert (got == want).all(), f"base {b}: mismatch"
+
+
+def test_halton_step_digits_cover_exact_range():
+    # STEP_MAX_DIGITS must cover the full f32-exact index range for the
+    # smallest schedule base (primes[2] = 5).
+    assert 5 ** H.STEP_MAX_DIGITS > (1 << 24)
+    assert 2 ** H._MAX_DIGITS >= (1 << 24)
