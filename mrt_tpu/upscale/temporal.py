@@ -20,8 +20,21 @@ import jax.numpy as jnp
 
 def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
     """Sample (H,W,C) at fractional (rows, cols); clamp addressing.
-    Returns (vals, in_bounds_mask)."""
+    Returns (vals, in_bounds_mask).
+
+    TPU codegen (docs/PERF.md round 4j): XLA gather cost is per ROW, nearly
+    width-independent to 128 f32 — the naive four-tap formulation compiled
+    to TWO per-pixel row gathers (taps sharing a row fuse into one) at the
+    ~8.7 ns/row HBM rate, 16 ms/frame at 720p output. Packing the 2x2 tap
+    quad into ONE wide row of a shifted-copy table makes the whole bilinear
+    sample a single gather — and because the packed table is born as an
+    in-program intermediate, XLA's memory-space assignment may serve it
+    from VMEM at the ~1.6 ns/row in-frame rate when it fits. Taps and
+    blend arithmetic are unchanged — output is bit-identical to the
+    four-indexed-reads form.
+    """
     h, w = img.shape[0], img.shape[1]
+    c_ch = img.shape[2]
     in_bounds = (rows >= 0) & (rows <= h - 1) & (cols >= 0) & (cols <= w - 1)
     r = jnp.clip(rows, 0.0, h - 1.0)
     c = jnp.clip(cols, 0.0, w - 1.0)
@@ -31,12 +44,19 @@ def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
     fc = (c - c0)[..., None]
     r0i = r0.astype(jnp.int32)
     c0i = c0.astype(jnp.int32)
-    r1i = jnp.minimum(r0i + 1, h - 1)
-    c1i = jnp.minimum(c0i + 1, w - 1)
-    v00 = img[r0i, c0i]
-    v01 = img[r0i, c1i]
-    v10 = img[r1i, c0i]
-    v11 = img[r1i, c1i]
+    # Shifted copies with edge clamp reproduce the min(+1, end) taps: the
+    # packed row at (r0, c0) is [v00 | v01 | v10 | v11].
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    quad = jnp.concatenate([img, right, down, down_right], axis=-1)
+    flat = quad.reshape(h * w, 4 * c_ch)
+    taps = jnp.take(flat, r0i * w + c0i, axis=0)
+    shape = r0i.shape + (c_ch,)
+    v00 = taps[..., 0 * c_ch : 1 * c_ch].reshape(shape)
+    v01 = taps[..., 1 * c_ch : 2 * c_ch].reshape(shape)
+    v10 = taps[..., 2 * c_ch : 3 * c_ch].reshape(shape)
+    v11 = taps[..., 3 * c_ch : 4 * c_ch].reshape(shape)
     top = v00 * (1 - fc) + v01 * fc
     bot = v10 * (1 - fc) + v11 * fc
     return top * (1 - fr) + bot * fr, in_bounds
