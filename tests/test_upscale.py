@@ -177,3 +177,43 @@ def test_reinhard_tonemap():
     c = jnp.asarray([0.0, 1.0, 3.0, 1e6])
     out = np.asarray(reinhard_tonemap(c))
     np.testing.assert_allclose(out, [0.0, 0.5, 0.75, 1.0], atol=1e-4)
+
+
+def test_bilinear_packed_quad_matches_naive_taps():
+    """The round-4j one-gather packed-quad bilinear must be BIT-identical to
+    the naive four-indexed-reads formulation (same taps, same blend order),
+    including at the clamped image edges and out-of-bounds coordinates."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mrt_tpu.upscale.temporal import _bilinear_sample
+
+    def naive(img, rows, cols):
+        h, w = img.shape[0], img.shape[1]
+        in_bounds = (rows >= 0) & (rows <= h - 1) & (cols >= 0) & (cols <= w - 1)
+        r = jnp.clip(rows, 0.0, h - 1.0)
+        c = jnp.clip(cols, 0.0, w - 1.0)
+        r0 = jnp.floor(r)
+        c0 = jnp.floor(c)
+        fr = (r - r0)[..., None]
+        fc = (c - c0)[..., None]
+        r0i = r0.astype(jnp.int32)
+        c0i = c0.astype(jnp.int32)
+        r1i = jnp.minimum(r0i + 1, h - 1)
+        c1i = jnp.minimum(c0i + 1, w - 1)
+        v00 = img[r0i, c0i]
+        v01 = img[r0i, c1i]
+        v10 = img[r1i, c0i]
+        v11 = img[r1i, c1i]
+        top = v00 * (1 - fc) + v01 * fc
+        bot = v10 * (1 - fc) + v11 * fc
+        return top * (1 - fr) + bot * fr, in_bounds
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.normal(size=(17, 23, 4)).astype(np.float32))
+    rows = jnp.asarray(rng.uniform(-3, 20, size=(9, 13)).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(-3, 26, size=(9, 13)).astype(np.float32))
+    got, got_ok = _bilinear_sample(img, rows, cols)
+    want, want_ok = naive(img, rows, cols)
+    assert (np.asarray(got) == np.asarray(want)).all()
+    assert (np.asarray(got_ok) == np.asarray(want_ok)).all()
