@@ -18,6 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .temporal import _bilinear_sample
+
 _LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
 
 # à-trous backend: XLA only. A halo-tiled Pallas kernel (one VMEM-resident
@@ -49,27 +51,6 @@ def init_state(h: int, w: int) -> DenoiseState:
         depth=jnp.full((h, w), 1.0e8, jnp.float32),
         normal=jnp.zeros((h, w, 3), jnp.float32),
     )
-
-
-def _bilinear(img, rows, cols):
-    h, w = img.shape[0], img.shape[1]
-    in_bounds = (rows >= 0) & (rows <= h - 1) & (cols >= 0) & (cols <= w - 1)
-    r = jnp.clip(rows, 0.0, h - 1.0)
-    c = jnp.clip(cols, 0.0, w - 1.0)
-    r0 = jnp.floor(r)
-    c0 = jnp.floor(c)
-    fr = r - r0
-    fc = c - c0
-    if img.ndim == 3:
-        fr = fr[..., None]
-        fc = fc[..., None]
-    r0i = r0.astype(jnp.int32)
-    c0i = c0.astype(jnp.int32)
-    r1i = jnp.minimum(r0i + 1, h - 1)
-    c1i = jnp.minimum(c0i + 1, w - 1)
-    top = img[r0i, c0i] * (1 - fc) + img[r0i, c1i] * fc
-    bot = img[r1i, c0i] * (1 - fc) + img[r1i, c1i] * fc
-    return top * (1 - fr) + bot * fr, in_bounds
 
 
 def _atrous_pass(demod, var, lum, normal, depth, step: int, h: int, w: int):
@@ -126,12 +107,31 @@ def svgf_filter(
     out_cols = jnp.arange(w, dtype=jnp.float32)[None, :]
     prev_r = out_rows + motion[..., 1]
     prev_c = out_cols - motion[..., 0]
-    prev_demod, in_b = _bilinear(state.demod, prev_r, prev_c)
-    prev_m1, _ = _bilinear(state.m1, prev_r, prev_c)
-    prev_m2, _ = _bilinear(state.m2, prev_r, prev_c)
-    prev_len, _ = _bilinear(state.history_length, prev_r, prev_c)
-    prev_depth, _ = _bilinear(state.depth, prev_r, prev_c)
-    prev_normal, _ = _bilinear(state.normal, prev_r, prev_c)
+    # ONE packed-quad bilinear gather for all six temporal-state fields
+    # (docs/PERF.md round 4k): the six separate samples compiled to 12
+    # per-pixel HBM-rate row gathers — ~200 ms/frame at the config-5 render
+    # res. Packing the whole DenoiseState into a 10-channel image makes the
+    # reprojection a single row gather per pixel (the same transform round
+    # 4j applied to the temporal upscaler); per-field taps and blend
+    # arithmetic are unchanged, so every field is bit-identical.
+    packed = jnp.concatenate(
+        [
+            state.demod,
+            state.m1[..., None],
+            state.m2[..., None],
+            state.history_length[..., None],
+            state.depth[..., None],
+            state.normal,
+        ],
+        axis=-1,
+    )
+    prev, in_b = _bilinear_sample(packed, prev_r, prev_c)
+    prev_demod = prev[..., 0:3]
+    prev_m1 = prev[..., 3]
+    prev_m2 = prev[..., 4]
+    prev_len = prev[..., 5]
+    prev_depth = prev[..., 6]
+    prev_normal = prev[..., 7:10]
 
     depth_ok = jnp.abs(prev_depth - depth) <= 0.1 * jnp.maximum(depth, 1e-3)
     normal_ok = jnp.sum(prev_normal * normal, axis=-1) > 0.8
