@@ -49,10 +49,14 @@ def halton_base(i: jnp.ndarray, b: jnp.ndarray,
     """Radical inverse of ``i`` in (per-lane) base ``b``.
 
     ``max_digits`` bounds the fixed-trip digit loop; it must satisfy
-    ``b ** max_digits > max(i)`` for exactness. 14 covers ANY int32 input
-    for b >= 5 (5^14 > 2^31) — the per-step dimension schedule only ever
-    produces bases >= primes[2] = 5, so per-bounce call sites pass 14 and
-    skip 18 dead iterations of int div/mod on every lane.
+    ``b ** max_digits >= 2^24`` for exactness over the supported index
+    range [0, 2^24): 24 covers base 2 (the worst case); the per-step
+    dimension schedule only ever produces bases >= primes[2] = 5, so
+    per-bounce call sites pass STEP_MAX_DIGITS = 11 (5^11 > 2^24) and skip
+    13 dead iterations on every lane. Indices are wrapped into [0, 2^24)
+    below (f32 ints are exact there; the wrap is the identity for every
+    reachable render index and degrades an over-long accumulation to a
+    sequence restart instead of corrupt digits).
 
     TPU codegen (docs/PERF.md round 4b): the digit loop is STATICALLY
     UNROLLED (a ``fori_loop`` here profiled at 112 ms per bounce-dim per
@@ -71,7 +75,7 @@ def halton_base(i: jnp.ndarray, b: jnp.ndarray,
     100 prime bases and adversarial near-multiple indices
     (tests/test_halton.py).
     """
-    i = jnp.asarray(i, jnp.int32)
+    i = jnp.asarray(i, jnp.int32) & jnp.int32((1 << 24) - 1)  # see docstring
     shape = jnp.broadcast_shapes(i.shape, jnp.shape(b))
     b_f = jnp.broadcast_to(b, shape).astype(jnp.float32)
     inv_b = 1.0 / b_f

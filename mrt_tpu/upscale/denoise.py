@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .temporal import _bilinear_sample
+from .temporal import bilinear_sample
 
 _LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
 
@@ -125,7 +125,7 @@ def svgf_filter(
         ],
         axis=-1,
     )
-    prev, in_b = _bilinear_sample(packed, prev_r, prev_c)
+    prev, in_b = bilinear_sample(packed, prev_r, prev_c)
     prev_demod = prev[..., 0:3]
     prev_m1 = prev[..., 3]
     prev_m2 = prev[..., 4]

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
+def bilinear_sample(img: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray):
     """Sample (H,W,C) at fractional (rows, cols); clamp addressing.
     Returns (vals, in_bounds_mask).
 
@@ -98,7 +98,7 @@ def temporal_upscale(
     out_cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
     prev_r = out_rows + mot[..., 1]
     prev_c = out_cols - mot[..., 0]
-    hist4, valid = _bilinear_sample(history, prev_r, prev_c)
+    hist4, valid = bilinear_sample(history, prev_r, prev_c)
     hist = hist4[..., :3]
     hist_depth = hist4[..., 3:4]
 

@@ -31,7 +31,6 @@ def main():
 
     import jax
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
     import bench
 
     if mode == "dragon":

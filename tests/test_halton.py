@@ -78,3 +78,26 @@ def test_halton_step_digits_cover_exact_range():
     # smallest schedule base (primes[2] = 5).
     assert 5 ** H.STEP_MAX_DIGITS > (1 << 24)
     assert 2 ** H._MAX_DIGITS >= (1 << 24)
+
+def test_halton_top_band_deterministic():
+    """ADVICE r4: the +/-1 fixup's unverified edge was q*b possibly rounding
+    when i is within b of 2^24. Deterministically sweep the ENTIRE top band
+    [2^24 - 541, 2^24) (541 = largest prime base) for all 100 bases —
+    bitwise equality vs the scalar oracle."""
+    top = np.arange((1 << 24) - 541, 1 << 24, dtype=np.int32)
+    ij = jnp.asarray(top)
+    for d in range(100):
+        got = np.asarray(H.halton(ij, jnp.full(top.shape, d, jnp.int32)))
+        want = np.array([H.halton_np(int(v), d) for v in top], np.float32)
+        assert (got == want).all(), f"base {int(H.PRIMES[d])}: top-band mismatch"
+
+
+def test_halton_wraps_above_2_24():
+    """Indices >= 2^24 wrap into [0, 2^24) (graceful sequence restart, not
+    corrupt digits): halton(i + 2^24) == halton(i)."""
+    i = np.array([0, 1, 12345, (1 << 24) - 1], np.int32)
+    hi = (i.astype(np.int64) + (1 << 24)).astype(np.int32)
+    for d in (0, 1, 5, 99):
+        a = np.asarray(H.halton(jnp.asarray(i), jnp.int32(d)))
+        b = np.asarray(H.halton(jnp.asarray(hi), jnp.int32(d)))
+        assert (a == b).all()

@@ -186,7 +186,7 @@ def test_bilinear_packed_quad_matches_naive_taps():
     import jax.numpy as jnp
     import numpy as np
 
-    from mrt_tpu.upscale.temporal import _bilinear_sample
+    from mrt_tpu.upscale.temporal import bilinear_sample
 
     def naive(img, rows, cols):
         h, w = img.shape[0], img.shape[1]
@@ -213,7 +213,7 @@ def test_bilinear_packed_quad_matches_naive_taps():
     img = jnp.asarray(rng.normal(size=(17, 23, 4)).astype(np.float32))
     rows = jnp.asarray(rng.uniform(-3, 20, size=(9, 13)).astype(np.float32))
     cols = jnp.asarray(rng.uniform(-3, 26, size=(9, 13)).astype(np.float32))
-    got, got_ok = _bilinear_sample(img, rows, cols)
+    got, got_ok = bilinear_sample(img, rows, cols)
     want, want_ok = naive(img, rows, cols)
     assert (np.asarray(got) == np.asarray(want)).all()
     assert (np.asarray(got_ok) == np.asarray(want_ok)).all()
