@@ -42,7 +42,9 @@ from .wide import (
     LEAF_K,
     META_OFF,
     ROW,
+    _BANDSORT,
     _aabb_children,
+    _band_partition,
     _decode_ids,
     _encode_ids,
     _mt_leaf,
@@ -993,7 +995,14 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
             band = jnp.where(sort_hint < 0, jnp.int32(127), hq)
             band = jnp.where(shadow, jnp.int32(0), band)
             key = jnp.where(live0, band * (1 << 15) + key, key)
-        perm = jnp.argsort(key)
+        inv_pre = None
+        if (_BANDSORT and sort_hint is not None and n_rays % 256 == 0):
+            # band-only partition (see wide._traverse): counting inverse,
+            # no coherence minor key, one argsort instead of two
+            band_full = jnp.where(live0, band, jnp.int32(255))
+            perm, inv_pre = _band_partition(band_full)
+        else:
+            perm = jnp.argsort(key)
         # ONE wide-row permutation gather instead of six narrow ones: XLA
         # gather cost is per ROW, nearly width-independent to 128 f32
         # (docs/PERF.md round 1); the profiled per-bounce permutation
@@ -1051,8 +1060,9 @@ def _traverse2(bvh: TwoLevelBVH, rays: Rays, t_min, mask, shadow=None,
 
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
-        # the scatter formulation at 65k lanes (scripts/microbench_inv.py)
-        inv = jnp.argsort(perm)
+        # the scatter formulation at 65k lanes (scripts/microbench_inv.py);
+        # the band partition precomputes it by counting instead
+        inv = inv_pre if inv_pre is not None else jnp.argsort(perm)
         cols = [st["best_t"], _encode_ids(st["best_tri"]), st["best_u"],
                 st["best_v"], st["found"].astype(jnp.float32),
                 _encode_ids(st["best_inst"])]

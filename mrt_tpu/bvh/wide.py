@@ -689,6 +689,48 @@ def _aabb_children(row, ox, oy, oz, ix, iy, iz, t_cap, T: bool = False):
     return hit, jnp.maximum(tnear, 0.0)
 
 
+_BANDSORT = _os.environ.get("MRT_BANDSORT", "0") == "1"
+
+
+def _band_partition(band: jnp.ndarray, n_bands: int = 256, block: int = 256):
+    """Grouping permutation + inverse for a small-range band key WITHOUT the
+    second argsort (round 5, VERDICT r4 item 3: the sort/permute band is
+    22 ns/ray and round 4a showed chunk assignment only needs a band
+    partition, not a total order).
+
+    ``perm`` (slot -> src) still comes from one stable argsort of the band
+    key alone; ``inv`` (src -> slot) is computed by COUNTING — block
+    histograms + a strict-lower-triangular bf16 matmul for within-block
+    ranks (MXU work) + tiny cumsums — instead of ``argsort(perm)``.
+    Stability makes the two constructions agree exactly: stable argsort
+    orders equal keys by index, and the counting destination is
+    band_start + #earlier-lanes-of-same-band, which is the same order.
+
+    Exactness: one-hot counts are accumulated in f32 (preferred f32 dot);
+    within-block ranks are < block = 256, representable exactly in bf16.
+
+    Requires band.shape[0] % block == 0 and 0 <= band < n_bands.
+    """
+    P = band.shape[0]
+    G = P // block
+    bb = band.reshape(G, block)
+    oh = bb[:, :, None] == jnp.arange(n_bands, dtype=jnp.int32)[None, None, :]
+    ohb = oh.astype(jnp.bfloat16)  # (G, block, B)
+    tri = jnp.tril(jnp.ones((block, block), jnp.bfloat16), -1)  # strict
+    within = jax.lax.dot_general(
+        tri, ohb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (block, G, B) ranks
+    within = jnp.transpose(within, (1, 0, 2))  # (G, block, B)
+    blockcnt = jnp.sum(oh.astype(jnp.float32), axis=1)  # (G, B)
+    totals = jnp.sum(blockcnt, axis=0)  # (B,)
+    startb = jnp.cumsum(totals) - totals  # exclusive
+    blockoff = jnp.cumsum(blockcnt, axis=0) - blockcnt  # (G, B) exclusive
+    d = within + blockoff[:, None, :] + startb[None, None, :]
+    inv = jnp.sum(jnp.where(oh, d, 0.0), axis=2).reshape(P).astype(jnp.int32)
+    perm = jnp.argsort(band, stable=True)
+    return perm, inv
+
+
 def _sort_keys_generic(rays: Rays, live: jnp.ndarray, bmin, bmax) -> jnp.ndarray:
     """Coherence sort key: dead lanes last, then direction octant, then a
     Morton-ish cell of the origin (normalized by the given scene bounds).
@@ -783,7 +825,15 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
             band = jnp.where(sort_hint < 0, jnp.int32(127), hq)
             band = jnp.where(shadow, jnp.int32(0), band)
             key = jnp.where(live0, band * (1 << 15) + key, key)
-        perm = jnp.argsort(key)
+        inv_pre = None
+        if (_BANDSORT and sort_hint is not None and n_rays % 256 == 0):
+            # band-only partition: chunk assignment needs grouping, not a
+            # total order (PERF.md round 4a: the coherence minor key is
+            # inert under banding); counting replaces the inverse argsort
+            band_full = jnp.where(live0, band, jnp.int32(255))
+            perm, inv_pre = _band_partition(band_full)
+        else:
+            perm = jnp.argsort(key)
         # ONE wide-row permutation gather instead of six narrow ones (XLA
         # gather cost is per ROW, ~width-independent to 128 f32; each 65k-row
         # permutation gather profiled at ~0.5 ms, docs/PERF.md round 2b).
@@ -856,8 +906,9 @@ def _traverse(wbvh: WideBVH, rays: Rays, t_min, any_hit_mode: bool, mask,
 
     if perm is not None:
         # argsort(perm) == inverse permutation; measured 184 us vs 450 us for
-        # the scatter formulation at 65k lanes (scripts/microbench_inv.py)
-        inv = jnp.argsort(perm)
+        # the scatter formulation at 65k lanes (scripts/microbench_inv.py);
+        # the band partition precomputes it by counting instead
+        inv = inv_pre if inv_pre is not None else jnp.argsort(perm)
         if profile:
             st = {k: jnp.take(v, inv, axis=0) for k, v in st.items()}
         else:

@@ -328,3 +328,22 @@ def test_sbvh_spatial_splits_match_lbvh_results():
         np.asarray(wide.any_hit(sb, capped, t_min=1e-4)),
         np.asarray(wide.any_hit(wide.build(v0, v1, v2, method="lbvh"), capped,
                                 t_min=1e-4)))
+
+
+def test_band_partition_matches_argsort():
+    """_band_partition's counting inverse must equal argsort(perm) exactly,
+    and perm must equal the stable argsort of the band key (round 5,
+    sort/permute band replacement)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mrt_tpu.bvh.wide import _band_partition
+
+    rng = np.random.default_rng(11)
+    for P in (256, 2048, 65536):
+        for hi in (2, 128, 256):  # degenerate few-band and full-range cases
+            band = rng.integers(0, hi, P).astype(np.int32)
+            perm, inv = _band_partition(jnp.asarray(band), n_bands=256)
+            perm, inv = np.asarray(perm), np.asarray(inv)
+            ref = np.argsort(band, kind="stable")
+            assert np.array_equal(perm, ref)
+            assert np.array_equal(inv, np.argsort(ref))

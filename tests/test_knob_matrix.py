@@ -44,6 +44,8 @@ COMBOS = [
     # docs/PERF.md round 4d)
     {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TWOLEVEL": "0"},
     {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
+    # band-only partition sort (counting inverse; round 5) — bit-exact
+    {"MRT_BANDSORT": "1"},
 ]
 
 
