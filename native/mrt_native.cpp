@@ -489,6 +489,18 @@ int mrt_build_wide_bvh_sp(const float* verts, int n_tris, int arity,
   std::vector<float> C((size_t)NB * ARITY);
   const float INF = FLT_MAX / 4;
 
+  // Tail-aware depth weighting (round 5, VERDICT r4 item 4): the plain DP
+  // minimizes MEAN pops/ray (sum of emitted-row areas); dragon-class deep
+  // trees leave a bounce p90/max tail the mean cannot see. Scaling the
+  // child-forest term by gamma > 1 makes an emitted row cost
+  // area * gamma^depth — a convex surrogate that trades a little mean for
+  // a flatter tree. gamma = 1 is the shipped objective.
+  float gamma = 1.0f;
+  if (const char* gs = std::getenv("MRT_COLLAPSE_GAMMA")) {
+    float g = (float)atof(gs);
+    if (g >= 1.0f && g <= 4.0f) gamma = g;
+  }
+
   for (int n = 0; n < NB; ++n) {
     const BinNode& nd = b.nodes[n];
     float* Cn = &C[(size_t)n * ARITY];
@@ -509,7 +521,7 @@ int mrt_build_wide_bvh_sp(const float* verts, int n_tris, int arity,
       D[i] = best;
     }
     float c_leaf = nd.count <= LEAF_K ? area : INF;
-    float c_int = area + D[ARITY];
+    float c_int = area + gamma * D[ARITY];
     Cn[0] = std::min(c_leaf, c_int);
     for (int i = 2; i <= ARITY; ++i) Cn[i - 1] = std::min(Cn[i - 2], D[i]);
   }
