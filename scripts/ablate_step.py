@@ -75,7 +75,7 @@ def make_stepper(bvh, o, d, ablate, iters, chunk=2048):
         _stack_push_sorted,
     )
 
-    table = bvh.table
+    table_base = bvh.table
     n_i = bvh.n_internal
     n_rows = bvh.n_rows
     S = _stack_alloc(bvh.stack_bound, bvh.depth)
@@ -83,8 +83,13 @@ def make_stepper(bvh, o, d, ablate, iters, chunk=2048):
 
     oj = jnp.asarray(o)
     dj = jnp.asarray(d)
+    # production table_patch trick (engine/renderer._trace_tile_program):
+    # write a parameter-carried patch into the table IN-PROGRAM so the
+    # traversal consumes an intermediate that MSA may pin in VMEM — a
+    # plain program parameter only reaches VMEM via evictable prefetch
+    patch = jnp.asarray(np.asarray(table_base[:8]))
 
-    def chunk_fn(args):
+    def chunk_fn(args, tbl):
         co, cd = args  # (chunk, 3)
         ox, oy, oz = co[:, 0:1], co[:, 1:2], co[:, 2:3]
         inv = 1.0 / jnp.where(jnp.abs(cd) < 1e-12,
@@ -121,9 +126,9 @@ def make_stepper(bvh, o, d, ablate, iters, chunk=2048):
             sp = jnp.where(active, sp - 1, jnp.int32(1))
 
             if "nogather" in ablate:
-                row = jnp.broadcast_to(table[0], (n, table.shape[1]))
+                row = jnp.broadcast_to(tbl[0], (n, tbl.shape[1]))
             else:
-                row = jnp.take(table, entry, axis=0)
+                row = jnp.take(tbl, entry, axis=0)
             is_leaf = entry >= n_i
             t_cap = st["best_t"]
 
@@ -193,12 +198,15 @@ def make_stepper(bvh, o, d, ablate, iters, chunk=2048):
                 + st["top_reg"].astype(jnp.float32)
                 + st["stack"][:, 0].astype(jnp.float32))
 
-    def run():
-        out = jax.lax.map(chunk_fn, (oj.reshape(-1, chunk, 3),
-                                     dj.reshape(-1, chunk, 3)))
+    def run(p):
+        tbl = table_base.at[: p.shape[0]].set(p)
+        out = jax.lax.map(lambda a: chunk_fn(a, tbl),
+                          (oj.reshape(-1, chunk, 3),
+                           dj.reshape(-1, chunk, 3)))
         return out.sum()
 
-    return jax.jit(run)
+    jf = jax.jit(run)
+    return lambda: jf(patch)
 
 
 def slope(bvh, o, d, ablate, lo=64, hi=256):

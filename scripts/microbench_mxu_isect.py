@@ -386,11 +386,13 @@ def main():
     run("mxu_f32hi_mmonly_8192x512", b, n)
     b, n = make_mxu_case(8192, 512, jnp.bfloat16, "lo", epilogue=False)
     run("mxu_bf16_mmonly_8192x512", b, n)
-    # realistic grouped shape: 32 groups x 256 rays, per-group gathered tile
+    # realistic grouped shape: 32 groups x 256 rays, per-group gathered
+    # tile (longer chains: the first run's lo=32/hi=256 slope went negative
+    # on the fast bf16 case — per-iter time too small vs timer noise)
     b, n = make_mxu_case(8192, 512, jnp.bfloat16, "lo", groups=32)
-    run("mxu_bf16_grouped32x256x512", b, n)
+    run("mxu_bf16_grouped32x256x512", b, n, lo=256, hi=1024)
     b, n = make_mxu_case(8192, 512, jnp.float32, "hi", groups=32)
-    run("mxu_f32hi_grouped32x256x512", b, n)
+    run("mxu_f32hi_grouped32x256x512", b, n, lo=128, hi=512)
 
     # implied Mrays/s at tests/ray budgets (intersection-only; today's
     # traversal pays ~24 leaf tests + ~12 box tests per ray)
