@@ -13,13 +13,23 @@ scratch TPU scaling story:
   effective samples/frame without touching the adaptive-sampling logic's
   semantics within each shard.
 
+The frame is STAGED into three programs — prepare (replicated skinning +
+refit + geometry pack), trace (shard_map, with the BVH/shade tables written
+into in-program intermediates so MSA can pin them in VMEM), finish
+(sharded accumulate) — the same structure the single-chip path adopted in
+round 2b. The first monolithic one-program version measured **1.22 vs 5.90
+Mrays/s at dp=1** on the real TPU (docs/PERF.md round 5d): folding
+everything into one program cost the VMEM table placement and the
+workload-sort hints, a 4.8x sharding overhead that staging removes.
+
 Geometry transform + BVH refit are replicated per chip (cheap relative to
-tracing); sharding the BVH itself (ray-queue ring exchange for BVHs larger
-than HBM, SURVEY.md §5.7) is the planned extension.
+tracing); sharding the BVH itself (dist/geometry.py gp axis) is the
+companion axis for BVHs larger than HBM.
 """
 
 from __future__ import annotations
 
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -44,40 +54,24 @@ def make_mesh(n_devices: int | None = None, sp: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_devices // sp, sp), ("dp", "sp"))
 
 
-def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
-    """Returns a jitted distributed frame step:
-
-    step(scene, bvh, uniforms, offsets (H,W), prev_accum (H,W,3),
-         prev_motion (H,W,2)) -> (accum, depth, motion)
-
-    Row dimension must be divisible by the dp axis size.
-    """
+def _check_settings(settings: T.RenderSettings, statics):
     if getattr(statics, "has_masks", False) and not (
             settings.two_level and settings.traversal_backend == "wide"):
         raise ValueError(
             "geometry masks require two_level=True (the flat wide BVH has "
             "no per-instance mask filtering)"
         )
-    import dataclasses
-
     # priming caches are not threaded through the distributed step (hints are
     # per-frame state the DistributedRenderer doesn't carry); disable so the
     # candidate gather isn't wasted on always-empty caches
-    settings = dataclasses.replace(settings, hit_priming=False)
-    dp = mesh.shape["dp"]
-    sp = mesh.shape["sp"]
-    h = settings.height
-    assert h % dp == 0, f"height {h} not divisible by dp={dp}"
-    local_h = h // dp
-    sample_stride = settings.sample_stride
+    return dataclasses.replace(settings, hit_priming=False)
 
-    def shard_fn(scene, bvh, uniforms, offsets_blk, prev_accum_blk, prev_motion_blk,
-                 skin_bundle, joint_matrices):
-        dp_rank = jax.lax.axis_index("dp")
-        sp_rank = jax.lax.axis_index("sp")
-        y0 = dp_rank * local_h
 
-        # Replicated per chip: skinning (MXU matmul) + transforms + BVH refit.
+def build_prepare_step(settings: T.RenderSettings, statics):
+    """Replicated per-frame prepare: skinning -> world transforms -> geometry
+    pack -> BVH refit. One jitted program, identical on every chip."""
+
+    def prep(scene, bvh, skin_bundle, joint_matrices):
         if statics.skin_slices:
             from ..skinning import lbs
 
@@ -102,6 +96,46 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
             bvh = twolevel.refit(bvh, scene.positions_obj, scene.instance_transform)
         else:
             bvh = wide.refit(bvh, geom.tri_v0, geom.tri_v1, geom.tri_v2)
+        return scene, geom, bvh
+
+    return jax.jit(prep)
+
+
+# auto-threshold mirroring Renderer.VMEM_TABLES_AUTO_MAX_BYTES: patch the
+# shade/motion tables only while everything comfortably co-resides in VMEM
+_VMEM_TABLES_AUTO_MAX_BYTES = 48 * 1024 * 1024
+
+
+def build_trace_step(settings: T.RenderSettings, statics, mesh: Mesh):
+    """shard_map'd trace program: each dp shard traces its own row block;
+    sp shards trace disjoint sample windows of the same block and pmean.
+
+    The BVH table (and, under the byte budget, the shade/motion row tables)
+    are written into in-program INTERMEDIATES from tiny parameter patches —
+    the renderer's round-2b trick that lets XLA's memory-space assignment
+    pin them in VMEM regardless of what other programs run in the process
+    (see engine/renderer._trace_tile_frame)."""
+    settings = _check_settings(settings, statics)
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    h = settings.height
+    assert h % dp == 0, f"height {h} not divisible by dp={dp}"
+    local_h = h // dp
+    sample_stride = settings.sample_stride
+
+    def shard_fn(scene, bvh, geom, uniforms, offsets_blk, prev_motion_blk,
+                 hint_blk, table_patch, geom_patch):
+        dp_rank = jax.lax.axis_index("dp")
+        sp_rank = jax.lax.axis_index("sp")
+        y0 = dp_rank * local_h
+
+        if table_patch is not None and hasattr(bvh, "table"):
+            bvh = bvh._replace(
+                table=bvh.table.at[: table_patch.shape[0]].set(table_patch))
+        if geom_patch is not None:
+            from ..engine.renderer import _patch_geom_rows
+
+            geom = _patch_geom_rows(geom, geom_patch)
 
         # Each sp shard uses a disjoint Halton index window.
         sample_base = (uniforms.frame_index * sp + sp_rank) * sample_stride
@@ -109,37 +143,61 @@ def build_render_step(settings: T.RenderSettings, statics, mesh: Mesh):
         out = wf.trace_block(
             settings, statics, scene, bvh, geom, uniforms,
             offsets_blk, prev_motion_blk, y0=y0, sample_base=sample_base,
+            step_hint=hint_blk,
         )
 
         # Combine samples across the sp axis (ICI collective).
         color = jax.lax.pmean(out.color, "sp")
         depth = jax.lax.pmean(out.depth, "sp")
         motion = jax.lax.pmean(out.motion, "sp")
+        # workload hints: camera-ray step counts; pmax over sp is the
+        # conservative (slowest-sample) prediction and the identity at sp=1
+        hint = jax.lax.pmax(out.step_hint, "sp")
 
         # Aggregate instrumented traversal launches across the whole mesh so
         # scripts/bench_multichip.py reports the same honest ray count the
         # single-chip bench does (closest-hit + any-hit shadow actually run).
         rays = jnp.sum(out.rays_traced.astype(jnp.int64))
         rays = jax.lax.psum(jax.lax.psum(rays, "dp"), "sp")
-
-        accum = acc.accumulate(settings, uniforms, color, motion, prev_motion_blk, prev_accum_blk)
-        return accum, depth, motion, scene.positions_obj, rays
+        return color, depth, motion, hint, rays
 
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp", None), P("dp", None, None), P("dp", None, None), P(), P()),
-        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None), P(), P()),
+        in_specs=(P(), P(), P(), P(), P("dp", None), P("dp", None, None),
+                  P("dp", None), P(), P()),
+        out_specs=(P("dp", None, None), P("dp", None), P("dp", None, None),
+                   P("dp", None), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def build_finish_step(settings: T.RenderSettings, statics, mesh: Mesh):
+    """Sharded accumulate: per-pixel EMA + motion-adaptive reset, elementwise
+    over the dp row blocks."""
+    settings = _check_settings(settings, statics)
+
+    def fin(uniforms, color, motion, prev_motion_blk, prev_accum_blk):
+        return acc.accumulate(settings, uniforms, color, motion,
+                              prev_motion_blk, prev_accum_blk)
+
+    shard = jax.shard_map(
+        fin,
+        mesh=mesh,
+        in_specs=(P(), P("dp", None, None), P("dp", None, None),
+                  P("dp", None, None), P("dp", None, None)),
+        out_specs=P("dp", None, None),
         check_vma=False,
     )
     return jax.jit(shard)
 
 
 class DistributedRenderer:
-    """Thin multi-chip driver mirroring the single-chip Renderer's draw loop.
+    """Multi-chip driver mirroring the single-chip Renderer's STAGED draw
+    loop (prepare / trace / finish as separate programs — PERF.md round 5d).
 
-    Wraps a compiled scene + mesh; keeps accumulation state sharded across
-    the dp axis.
+    Keeps accumulation + workload-hint state sharded across the dp axis.
     """
 
     def __init__(self, scene: scene_mod.Scene, settings: T.RenderSettings, mesh: Mesh | None = None, sp: int = 1, seed: int = 0):
@@ -162,15 +220,19 @@ class DistributedRenderer:
         Renderer._build_bvh(tmp)
         self.bvh = tmp.bvh
 
-        self.step = build_render_step(settings, self.statics, self.mesh)
+        self._prep = build_prepare_step(settings, self.statics)
+        self._trace = build_trace_step(settings, self.statics, self.mesh)
+        self._finish = build_finish_step(settings, self.statics, self.mesh)
         h, w = settings.height, settings.width
         key = jax.random.PRNGKey(seed)
         self.offsets = H.make_pixel_offsets(key, h, w)
         self.accum = jnp.zeros((h, w, 3), jnp.float32)
         self.motion = jnp.zeros((h, w, 2), jnp.float32)
         self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
+        self.step_hint = jnp.zeros((h, w), jnp.int32)
         self.frame_index = 0
         self._previous_camera: T.Camera | None = None
+        self._prepare_cache = None
         self.skin_bundle = getattr(scene, "skin_bundle", ())
         # identity pose until set_joint_matrices / animation drives it
         self._joint_matrices = tuple(
@@ -196,14 +258,42 @@ class DistributedRenderer:
             previous_camera=self._previous_camera or camera,
             frame_index=self.frame_index,
         )
-        self.accum, self.depth, self.motion, skinned_pos, rays = self.step(
-            self.scene_data, self.bvh, uniforms, self.offsets, self.accum, self.motion,
-            self.skin_bundle, self._joint_matrices,
+        # clean-frame prepare skip, keyed by input identity (same idiom as
+        # Renderer._draw_staged; skinned scenes churn identity and miss)
+        leaves = tuple(jax.tree_util.tree_leaves(
+            (self.scene_data, self.bvh, self.skin_bundle, self._joint_matrices)))
+        cache = self._prepare_cache
+        if (cache is not None and len(cache[0]) == len(leaves)
+                and all(a is b for a, b in zip(cache[0], leaves))):
+            scene2, geom, bvh2 = cache[1]
+        else:
+            scene2, geom, bvh2 = self._prep(
+                self.scene_data, self.bvh, self.skin_bundle,
+                self._joint_matrices)
+            self._prepare_cache = (leaves, (scene2, geom, bvh2))
+
+        table_patch = bvh2.table[:8] if hasattr(bvh2, "table") else None
+        geom_patch = None
+        if hasattr(bvh2, "table"):
+            total = (bvh2.table.size + geom.shade_rows.size
+                     + geom.motion_rows.size) * 4
+            if total <= _VMEM_TABLES_AUTO_MAX_BYTES:
+                geom_patch = (geom.shade_rows[:1], geom.motion_rows[:1])
+
+        color, depth, motion, hint, rays = self._trace(
+            scene2, bvh2, geom, uniforms, self.offsets, self.motion,
+            self.step_hint, table_patch, geom_patch,
         )
+        self.accum = self._finish(uniforms, color, motion, self.motion,
+                                  self.accum)
+        self.depth = depth
+        self.motion = motion
+        self.step_hint = hint
         self.last_rays_traced = rays
         if self.statics.skin_slices:
             self.scene_data = self.scene_data._replace(
-                positions_obj=skinned_pos, prev_positions_obj=skinned_pos
+                positions_obj=scene2.positions_obj,
+                prev_positions_obj=scene2.positions_obj,
             )
         self.frame_index += 1
         self._previous_camera = camera
