@@ -43,8 +43,16 @@ P = 65536          # rays per stage call (one production tile)
 CHUNK = 256        # pairs per dense chunk (matmul M dim)
 
 
-def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0):
-    """Build one jitted stage; returns (fn(iters), pairs_per_call)."""
+def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0,
+               ablate="", scan_block=0):
+    """Build one jitted stage; returns (fn(iters), pairs_per_call).
+
+    ablate: "noepi" (sum the matmul, no epilogue/min), "nopart" (skip the
+    partition: pairs processed in ray order — WRONG results, measures the
+    partition band), "nodense" (skip matmul+epilogue entirely).
+    scan_block: process the dense phase in lax.map blocks of this many
+    chunks so the [*,CHUNK,6K] f32 intermediate stays small enough to keep
+    the epilogue fused (0 = all chunks in one batched dot)."""
     from mrt_tpu.bvh.wide import _band_partition
 
     K = tris_per_cell
@@ -85,7 +93,10 @@ def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0):
         # --- partition pairs by cell (counting; empty slots band last);
         # counting one-hot caps at 256 bands — larger cell counts (dragon
         # class) fall back to two argsorts, cost PAID honestly ---
-        if n_cells < 256:
+        if "nopart" in ablate:
+            perm = jnp.arange(n_pairs, dtype=jnp.int32)
+            inv = perm
+        elif n_cells < 256:
             perm, inv = _band_partition(pair_cell, n_bands=256)
         else:
             perm = jnp.argsort(pair_cell, stable=True)
@@ -97,11 +108,28 @@ def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0):
         pool_c = pool.reshape(G, CHUNK, 8).astype(jnp.bfloat16)
         cells_c = cell_sorted.reshape(G, CHUNK)
         lead = cells_c[:, 0]
-        tile = jnp.take(tiles_j, jnp.minimum(lead, n_cells - 1), axis=0)
-        out = jax.lax.dot_general(
-            pool_c, tile, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # (G, CHUNK, 6K)
-        best = mxu_epilogue(out, K)                      # (G, CHUNK) packed
+
+        def dense(args):
+            pc, ld, cc = args  # (g, CHUNK, 8), (g,), (g, CHUNK)
+            tile = jnp.take(tiles_j, jnp.minimum(ld, n_cells - 1), axis=0)
+            if "nodense" in ablate:
+                return (tile.sum(axis=(1, 2)).astype(jnp.int32)[:, None]
+                        + jnp.zeros((1, CHUNK), jnp.int32))
+            out = jax.lax.dot_general(
+                pc, tile, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (g, CHUNK, 6K)
+            if "noepi" in ablate:
+                return out.sum(axis=2).astype(jnp.int32)
+            return mxu_epilogue(out, K)                  # (g, CHUNK) packed
+
+        if scan_block:
+            best = jax.lax.map(
+                dense, (pool_c.reshape(-1, scan_block, CHUNK, 8),
+                        lead.reshape(-1, scan_block),
+                        cells_c.reshape(-1, scan_block, CHUNK)),
+            ).reshape(G, CHUNK)
+        else:
+            best = dense((pool_c, lead, cells_c))
         # pairs not matching the chunk's tile (cell boundary) are waste:
         # their tests are PAID but the result is discarded
         match = cells_c == lead[:, None]
@@ -150,19 +178,25 @@ def main():
     # (n_cells, tris/cell, M slots): flagship 95k tris -> 190 cells of 512,
     # 390 of 256; dragon-class -> 2600 cells of 512
     grid = [
-        (192, 512, 2),
-        (192, 512, 4),
-        (384, 256, 4),
-        (2600, 512, 4),   # dragon-class cell count
-        (192, 512, 6),
+        (192, 512, 2, "", 0),
+        (192, 512, 2, "", 16),      # scanned dense: cap the f32 intermediate
+        (192, 512, 2, "", 64),
+        (192, 512, 2, "noepi", 0),  # decompose: matmul-only
+        (192, 512, 2, "nodense", 0),  # decompose: marshaling-only
+        (192, 512, 2, "nopart", 0),   # decompose: no partition
+        (192, 128, 4, "", 0),       # small tiles (fusion-friendlier)
+        (192, 128, 4, "", 64),
+        (384, 256, 4, "", 16),
+        (2600, 512, 4, "", 16),     # dragon-class cell count
     ]
-    for n_cells, K, M in grid:
-        body, n_pairs = make_stage(n_cells, K, M)
+    for n_cells, K, M, abl, blk in grid:
+        body, n_pairs = make_stage(n_cells, K, M, ablate=abl, scan_block=blk)
         per_iter = slope(body)
         ns_ray = per_iter / P * 1e9
         ns_test = per_iter / (n_pairs * K) * 1e9
         print(json.dumps({
             "cells": n_cells, "tris_per_cell": K, "slots": M,
+            "ablate": abl, "scan_block": blk,
             "ns_per_ray": round(ns_ray, 2),
             "ns_per_test": round(ns_test, 5),
             "tests_per_ray": M * K,
