@@ -44,7 +44,7 @@ CHUNK = 256        # pairs per dense chunk (matmul M dim)
 
 
 def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0,
-               ablate="", scan_block=0):
+               ablate="", scan_block=0, vmem_pool=False):
     """Build one jitted stage; returns (fn(iters), pairs_per_call).
 
     ablate: "noepi" (sum the matmul, no epilogue/min), "nopart" (skip the
@@ -85,7 +85,13 @@ def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0,
     n_pairs = P * m_slots
     G = n_pairs // CHUNK
 
-    def stage(rays8, cell_ids, salt):
+    def stage(rays8, cell_ids, salt, patch=None):
+        if patch is not None:
+            # production table-patch trick: make the gathered pool source an
+            # in-program INTERMEDIATE so MSA can place it in VMEM — the
+            # unpatched variant's permute gathers run at the ~8.7 ns/row HBM
+            # rate and are the 33 ns/ray marshaling floor (cellstage v2)
+            rays8 = rays8.at[: patch.shape[0]].set(patch)
         # salt makes each chain iteration's input differ (dependency)
         pair_cell = (cell_ids + salt).reshape(n_pairs) % n_cells
         pair_cell = jnp.where(cell_ids.reshape(n_pairs) < 0,
@@ -142,16 +148,23 @@ def make_stage(n_cells, tris_per_cell, m_slots, coherence=64, seed=0,
         return per_ray, waste
 
     def body(iters):
-        def run():
+        # the patch must be a PARAMETER (as in production) — a captured
+        # constant would const-fold and the pool would stay a constant in
+        # HBM instead of becoming an MSA-placeable intermediate
+        def run(p):
             def it(i, carry):
                 acc, _ = carry
-                per_ray, waste = stage(X_j, cells_j, i + (acc & 1))
+                per_ray, waste = stage(X_j, cells_j, i + (acc & 1),
+                                       patch=p)
                 return (acc + jnp.min(per_ray), waste)
 
             acc, waste = jax.lax.fori_loop(
                 0, iters, it, (jnp.int32(0), jnp.int32(0)))
             return acc + waste
-        return jax.jit(run)
+
+        jf = jax.jit(run)
+        pv = X_j[:8] if vmem_pool else None
+        return lambda: jf(pv)
 
     return body, n_pairs
 
@@ -178,25 +191,23 @@ def main():
     # (n_cells, tris/cell, M slots): flagship 95k tris -> 190 cells of 512,
     # 390 of 256; dragon-class -> 2600 cells of 512
     grid = [
-        (192, 512, 2, "", 0),
-        (192, 512, 2, "", 16),      # scanned dense: cap the f32 intermediate
-        (192, 512, 2, "", 64),
-        (192, 512, 2, "noepi", 0),  # decompose: matmul-only
-        (192, 512, 2, "nodense", 0),  # decompose: marshaling-only
-        (192, 512, 2, "nopart", 0),   # decompose: no partition
-        (192, 128, 4, "", 0),       # small tiles (fusion-friendlier)
-        (192, 128, 4, "", 64),
-        (384, 256, 4, "", 16),
-        (2600, 512, 4, "", 16),     # dragon-class cell count
+        # v3: VMEM-patched pool (the 33 ns/ray marshaling floor was two
+        # permute gathers at the HBM rate — production would patch)
+        (192, 512, 2, "", 16, True),
+        (192, 512, 2, "nodense", 0, True),
+        (192, 512, 4, "", 16, True),
+        (192, 512, 2, "", 16, False),   # v2 best, re-run for comparison
+        (2600, 512, 4, "", 16, True),   # dragon-class (argsort partition)
     ]
-    for n_cells, K, M, abl, blk in grid:
-        body, n_pairs = make_stage(n_cells, K, M, ablate=abl, scan_block=blk)
+    for n_cells, K, M, abl, blk, vp in grid:
+        body, n_pairs = make_stage(n_cells, K, M, ablate=abl, scan_block=blk,
+                                   vmem_pool=vp)
         per_iter = slope(body)
         ns_ray = per_iter / P * 1e9
         ns_test = per_iter / (n_pairs * K) * 1e9
         print(json.dumps({
             "cells": n_cells, "tris_per_cell": K, "slots": M,
-            "ablate": abl, "scan_block": blk,
+            "ablate": abl, "scan_block": blk, "vmem_pool": vp,
             "ns_per_ray": round(ns_ray, 2),
             "ns_per_test": round(ns_test, 5),
             "tests_per_ray": M * K,
