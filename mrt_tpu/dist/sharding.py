@@ -223,13 +223,27 @@ class DistributedRenderer:
         self._prep = build_prepare_step(settings, self.statics)
         self._trace = build_trace_step(settings, self.statics, self.mesh)
         self._finish = build_finish_step(settings, self.statics, self.mesh)
+        # Explicit shardings, committed ONCE: without them the shard_map
+        # jit re-places every argument synchronously on EVERY call — the
+        # dp=1 xplane showed device busy at single-chip parity (148 ns/ray)
+        # under a 4.6x wall-clock stall that was pure per-call argument
+        # handling (PERF.md round 5j).
+        from jax.sharding import NamedSharding
+
+        self._rep = NamedSharding(self.mesh, P())
+        self._row_sharded = NamedSharding(self.mesh, P("dp", None))
+        self._img_sharded = NamedSharding(self.mesh, P("dp", None, None))
         h, w = settings.height, settings.width
         key = jax.random.PRNGKey(seed)
-        self.offsets = H.make_pixel_offsets(key, h, w)
-        self.accum = jnp.zeros((h, w, 3), jnp.float32)
-        self.motion = jnp.zeros((h, w, 2), jnp.float32)
+        self.offsets = jax.device_put(
+            H.make_pixel_offsets(key, h, w), self._row_sharded)
+        self.accum = jax.device_put(
+            jnp.zeros((h, w, 3), jnp.float32), self._img_sharded)
+        self.motion = jax.device_put(
+            jnp.zeros((h, w, 2), jnp.float32), self._img_sharded)
         self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
-        self.step_hint = jnp.zeros((h, w), jnp.int32)
+        self.step_hint = jax.device_put(
+            jnp.zeros((h, w), jnp.int32), self._row_sharded)
         self.frame_index = 0
         self._previous_camera: T.Camera | None = None
         self._prepare_cache = None
@@ -270,6 +284,10 @@ class DistributedRenderer:
             scene2, geom, bvh2 = self._prep(
                 self.scene_data, self.bvh, self.skin_bundle,
                 self._joint_matrices)
+            # commit the replicated trace inputs to an explicit sharding so
+            # repeated _trace calls never re-place them
+            scene2, geom, bvh2 = jax.device_put(
+                (scene2, geom, bvh2), self._rep)
             self._prepare_cache = (leaves, (scene2, geom, bvh2))
 
         table_patch = bvh2.table[:8] if hasattr(bvh2, "table") else None
@@ -280,6 +298,7 @@ class DistributedRenderer:
             if total <= _VMEM_TABLES_AUTO_MAX_BYTES:
                 geom_patch = (geom.shade_rows[:1], geom.motion_rows[:1])
 
+        uniforms = jax.device_put(uniforms, self._rep)
         color, depth, motion, hint, rays = self._trace(
             scene2, bvh2, geom, uniforms, self.offsets, self.motion,
             self.step_hint, table_patch, geom_patch,
