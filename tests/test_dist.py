@@ -282,3 +282,24 @@ def test_dp_gp_combined_mesh_matches_single_chip():
         gids=gids, row_gids=row_gids, atlas_bands=bands,
     )
     np.testing.assert_allclose(np.asarray(accum), single, atol=1e-5)
+
+
+def test_dp_staged_hint_threading_and_prepare_cache():
+    """Round 5: the staged dist path must (a) reuse the prepare outputs for
+    clean frames (identity cache), (b) thread live workload hints after the
+    first frame, (c) keep state shardings stable across draws."""
+    w = h = 32
+    mesh = make_mesh(n_devices=4, sp=1)
+    dr = DistributedRenderer(_scene(w, h), _settings(w, h), mesh=mesh)
+    dr.draw()
+    cached1 = dr._prepare_cache[1]
+    hint1 = np.asarray(dr.step_hint)
+    assert hint1.max() > 0  # camera step counts came back through trace
+    dr.draw()
+    cached2 = dr._prepare_cache[1]
+    for a, b in zip(jax.tree_util.tree_leaves(cached1),
+                    jax.tree_util.tree_leaves(cached2)):
+        assert a is b  # static scene: prepare skipped, outputs reused
+    assert dr.accum.sharding.is_equivalent_to(dr._img_sharded, dr.accum.ndim)
+    assert dr.step_hint.sharding.is_equivalent_to(
+        dr._row_sharded, dr.step_hint.ndim)
