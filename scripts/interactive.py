@@ -46,11 +46,33 @@ def main():
     scene = make_app_scene(width=size, height=size)
     r = Renderer(scene, output_width=size, output_height=size)
     shading = {"pbr": T.SHADING_MODE_PBR, "legacy": T.SHADING_MODE_LEGACY}
+    ansi = "--ansi" in sys.argv
+
+    def show_ansi(img, cols=48):
+        """Truecolor half-block terminal preview (kitty/iterm/vt are fine):
+        two image rows per text row via the upper-half-block glyph."""
+        h, w = img.shape[:2]
+        step = max(1, w // cols)
+        small = img[:: 2 * step, ::step]
+        lower = img[step :: 2 * step, ::step]
+        lines = []
+        for y in range(min(small.shape[0], lower.shape[0])):
+            row = []
+            for x in range(small.shape[1]):
+                tr, tg, tb = (int(v) for v in small[y, x])
+                br, bg, bb = (int(v) for v in lower[y, x])
+                row.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                           f"\x1b[48;2;{br};{bg};{bb}m▀")
+            lines.append("".join(row) + "\x1b[0m")
+        print("\n".join(lines))
 
     def frame(n=1):
         for _ in range(n):
             r.draw()
-        write_png(out, r.output_image())
+        img = r.output_image()
+        write_png(out, img)
+        if ansi:
+            show_ansi(img)
         print(f"frame {r.frame_index} -> {out}")
 
     frame()
@@ -95,6 +117,25 @@ def main():
                 r.view_mode = args[0]
             elif cmd == "frames":
                 frame(int(args[0]))
+                continue
+            elif cmd == "loop":
+                # free-running render loop with an orbiting camera — the
+                # display-link analog (Renderer.swift:1405-1503): N frames
+                # drawn back-to-back with an FPS readout
+                import time as _time
+
+                n = int(args[0]) if args else 30
+                dx = float(args[1]) if len(args) > 1 else 2.0
+                t0 = _time.perf_counter()
+                for _ in range(n):
+                    r.orbit(dx, 0.0)
+                    r.draw()
+                img = r.output_image()
+                dt = _time.perf_counter() - t0
+                write_png(out, img)
+                if ansi:
+                    show_ansi(img)
+                print(f"loop {n} frames in {dt:.2f}s = {n/dt:.2f} fps")
                 continue
             elif cmd == "save":
                 write_png(args[0], r.output_image())

@@ -28,6 +28,7 @@ q
 mode world
 accum 0.8
 frames 2
+loop 2 1.0
 stats
 save {out}
 quit
