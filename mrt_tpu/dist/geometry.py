@@ -152,7 +152,14 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh,
     ``banded=True`` declares that the step will be called with
     ``atlas_bands`` (the gp-sharded packed atlas). Only then is
     ``use_mipmaps`` forced off — the banded atlas carries LOD-0 texels
-    only. With a replicated atlas the caller's mip setting is honored."""
+    only. With a replicated atlas the caller's mip setting is honored.
+
+    PERF NOTE (round 5j, PERF.md): commit every repeated argument to an
+    explicit ``NamedSharding`` (``jax.device_put``) before a frame loop —
+    uncommitted arrays are re-placed synchronously on EVERY call, which
+    cost the dp path 4.8x wall clock before the fix in
+    ``sharding.DistributedRenderer``. A frame driver for this gp step
+    should follow the same pattern."""
     assert "gp" in mesh.shape, "mesh needs a 'gp' axis"
     if getattr(statics, "has_masks", False):
         raise ValueError(
