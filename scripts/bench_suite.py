@@ -17,7 +17,11 @@ import numpy as np
 def _measure(r, frames):
     import jax
 
-    r.draw()
+    # warm with the SAME draw variant the loop times: draw() and draw(dt)
+    # compile different prepare programs (static vs skinning+refit), and a
+    # mismatched warmup put the skinned-path compile inside config 4's
+    # timed window (measured 3.5 "Mrays/s" vs the honest 5.9 — round 5)
+    r.draw(1 / 60)
     jax.block_until_ready(r.accum)
     # zero D2H in the timed loop (one readback serializes every later
     # dispatch on the axon tunnel — docs/PERF.md round 2j); counters are
