@@ -46,6 +46,9 @@ COMBOS = [
     {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
     # band-only partition sort (counting inverse; round 5) — bit-exact
     {"MRT_BANDSORT": "1"},
+    # tail-aware DP collapse weight (round 5a, banked negative but the
+    # builder path must stay correct): different tree, same image
+    {"MRT_COLLAPSE_GAMMA": "1.25"},
 ]
 
 
