@@ -157,8 +157,11 @@ def build_trace_step(settings: T.RenderSettings, statics, mesh: Mesh):
         # Aggregate instrumented traversal launches across the whole mesh so
         # scripts/bench_multichip.py reports the same honest ray count the
         # single-chip bench does (closest-hit + any-hit shadow actually run).
-        rays = jnp.sum(out.rays_traced.astype(jnp.int64))
-        rays = jax.lax.psum(jax.lax.psum(rays, "dp"), "sp")
+        # Per-chip totals stay < 2^24 (exact in f32); the cross-chip psum is
+        # f32 because int64 silently truncates to int32 under the default
+        # x64-disabled config and would overflow past ~140 chips.
+        rays = jnp.sum(out.rays_traced.astype(jnp.int32))
+        rays = jax.lax.psum(jax.lax.psum(rays.astype(jnp.float32), "dp"), "sp")
         return color, depth, motion, hint, rays
 
     shard = jax.shard_map(
