@@ -408,6 +408,8 @@ class CrateFile:
             off = payload
             (cnt,) = struct.unpack_from("<Q", self.data, off)
             off += 8
+            if cnt > len(self.data):  # corrupt count: can't exceed file size
+                raise ValueError(f"corrupt token-array count {cnt}")
             idx = struct.unpack_from(f"<{cnt}I", self.data, off)
             return [self.tokens[i] for i in idx]
         if dt is None:
@@ -419,6 +421,11 @@ class CrateFile:
         else:
             (cnt,) = struct.unpack_from("<I", self.data, off)
             off += 4
+        if cnt * width > len(self.data):
+            # corrupt count guard: even 1-byte elements cannot outnumber the
+            # file's bytes — fail BEFORE attempting a giant allocation
+            # (tests/test_loader_fuzz.py byte-flip corpus)
+            raise ValueError(f"corrupt array count {cnt} (x{width})")
         n_elems = cnt * width
         if is_compressed and ty in (T_INT, T_UINT, T_INT64, T_UINT64):
             vals, _ = read_compressed_ints(self.data, off, int(n_elems))

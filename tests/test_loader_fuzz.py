@@ -1,0 +1,130 @@
+"""Malformed-input robustness for the asset loaders (round 5).
+
+The reference feeds ModelIO only its own bundled assets
+(/root/reference/MetalRaytracing/Model.swift:45-70); a production framework
+ingests arbitrary user files, so the loaders must fail CONTROLLED on
+garbage: a Python exception — never a hang, a segfault (the native OBJ
+fast path is C++), or silently wrong arrays.
+
+Strategy: take each valid fixture, then (a) truncate at many offsets,
+(b) flip random bytes, (c) feed unrelated bytes — every outcome must be
+either a successful parse (byte flips can land in padding/comments) or a
+clean Python exception. The native OBJ parser additionally runs in a
+SUBPROCESS so a segfault would fail the test instead of killing pytest.
+"""
+
+import os
+import struct
+import subprocess
+import sys
+import zipfile
+import zlib
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from mrt_tpu.assets import usdc as U  # noqa: E402
+
+
+def _valid_crate() -> bytes:
+    """The checked-in crate fixture (inside tube_crate.usdz)."""
+    zf = zipfile.ZipFile(os.path.join(REPO, "tests/fixtures/tube_crate.usdz"))
+    name = next(n for n in zf.namelist() if n.endswith((".usdc", ".usd")))
+    return zf.read(name)
+
+
+CONTROLLED = (ValueError, KeyError, IndexError, struct.error, zlib.error,
+              EOFError, OverflowError, MemoryError, TypeError,
+              NotImplementedError)
+
+
+def test_usdc_truncations_fail_controlled():
+    data = _valid_crate()
+    # parse the intact crate first (guards the fixture itself)
+    U.read_crate_prims(data)
+    n = len(data)
+    offsets = sorted(set(list(range(0, min(n, 128))) +
+                         [n // 4, n // 2, 3 * n // 4, n - 1]))
+    for cut in offsets:
+        try:
+            U.read_crate_prims(data[:cut])
+        except CONTROLLED:
+            pass  # controlled failure — good
+        # a successful parse of a truncation is impossible for cut < n
+        else:
+            pytest.fail(f"truncation at {cut} parsed 'successfully'")
+
+
+def test_usdc_byte_flips_never_hang_or_crash():
+    data = bytearray(_valid_crate())
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        pos = int(rng.integers(0, len(data)))
+        old = data[pos]
+        data[pos] ^= int(rng.integers(1, 256))
+        try:
+            U.read_crate_prims(bytes(data))
+        except CONTROLLED:
+            pass
+        finally:
+            data[pos] = old
+
+
+def test_usdc_garbage_inputs():
+    for junk in (b"", b"\x00" * 64, b"PXR-USDC" + b"\xff" * 7,
+                 os.urandom(256), b"not a crate at all"):
+        with pytest.raises(CONTROLLED):
+            U.read_crate_prims(junk)
+
+
+_NATIVE_CHILD = r"""
+import sys
+sys.path.insert(0, %r)
+import numpy as np
+from mrt_tpu.utils import native
+
+if not native.available():
+    print("SKIP")
+    sys.exit(0)
+
+valid = b"v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvn 0 0 1\nf 1/1/1 2/1/1 3/1/1\n"
+cases = []
+n = len(valid)
+for cut in range(n):
+    cases.append(valid[:cut])
+rng = np.random.default_rng(9)
+for _ in range(200):
+    b = bytearray(valid)
+    b[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+    cases.append(bytes(b))
+cases += [b"", b"\x00" * 64, bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+          b"f 1//2//3//4\n", b"f 999999999 -999999999 0\n",
+          b"v " + b"9" * 400 + b"\nf 1 1 1\n"]
+import tempfile
+for c in cases:
+    with tempfile.NamedTemporaryFile(suffix=".obj", delete=False) as f:
+        f.write(c)
+        path = f.name
+    try:
+        native.parse_obj_geometry(path)
+    except Exception:
+        pass  # controlled Python-level failure is fine
+    finally:
+        import os as _os
+        _os.unlink(path)
+print("OK", len(cases))
+"""
+
+
+def test_native_obj_parser_fuzz_no_segfault():
+    """The C++ fast-path parser must never crash the process on malformed
+    bytes (truncations, byte flips, huge/negative indices, junk)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run([sys.executable, "-c", _NATIVE_CHILD % REPO],
+                       capture_output=True, text=True, env=env, cwd=REPO,
+                       timeout=600)
+    assert p.returncode == 0, f"native parser crashed: {p.stderr[-500:]}"
+    assert "OK" in p.stdout or "SKIP" in p.stdout
