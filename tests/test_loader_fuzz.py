@@ -128,3 +128,62 @@ def test_native_obj_parser_fuzz_no_segfault():
                        timeout=600)
     assert p.returncode == 0, f"native parser crashed: {p.stderr[-500:]}"
     assert "OK" in p.stdout or "SKIP" in p.stdout
+
+
+def test_gltf_fuzz_fails_controlled(tmp_path):
+    """glTF JSON/accessor corruption must raise Python exceptions, never
+    hang or produce nonsense silently."""
+    import json as _json
+
+    from tests.test_gltf import _make_skinned_gltf
+    from mrt_tpu.assets.gltf import load_gltf
+
+    p = _make_skinned_gltf(tmp_path)
+    load_gltf(p)  # intact fixture parses
+    data = p.read_bytes()
+    rng = np.random.default_rng(3)
+    q = tmp_path / "fuzz.gltf"
+    # truncations
+    for cut in sorted(set(int(x) for x in rng.integers(0, len(data), 40))):
+        q.write_bytes(data[:cut])
+        try:
+            load_gltf(q)
+        except CONTROLLED + (_json.JSONDecodeError,):
+            pass
+    # structured corruption: bogus accessor offsets/counts/types
+    doc = _json.loads(data)
+    for mut in (
+        lambda d: d["accessors"][0].update(count=10**6),
+        lambda d: d["accessors"][4].update(componentType=9999),
+        lambda d: d["bufferViews"][0].update(byteOffset=10**9),
+        lambda d: d["skins"][0].update(joints=[99, 100]),
+        lambda d: d["meshes"][0]["primitives"][0]["attributes"].update(POSITION=77),
+    ):
+        d = _json.loads(data)
+        mut(d)
+        q.write_text(_json.dumps(d))
+        try:
+            load_gltf(q)
+        except CONTROLLED:
+            pass
+
+
+def test_hdr_fuzz_returns_none_or_image(tmp_path):
+    """The RGBE decoder's contract is None-on-failure; corruption must never
+    escape as an uncaught exception or a hang."""
+    from mrt_tpu.assets.hdr import load_hdr
+
+    hdr = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 4 +X 8\n"
+           + bytes(range(128)) + b"\x80" * 64)
+    p = tmp_path / "x.hdr"
+    rng = np.random.default_rng(4)
+    for cut in range(0, len(hdr), 7):
+        p.write_bytes(hdr[:cut])
+        out = load_hdr(str(p))
+        assert out is None or isinstance(out, np.ndarray)
+    for _ in range(60):
+        b = bytearray(hdr)
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        p.write_bytes(bytes(b))
+        out = load_hdr(str(p))
+        assert out is None or isinstance(out, np.ndarray)
