@@ -120,3 +120,81 @@ def restore(renderer, path: str) -> None:
         )
     # restore LAST: property writes above reset frame_index via the didSet idiom
     object.__setattr__(renderer, "frame_index", int(z["frame_index"]))
+
+
+def save_dist(dr, path: str) -> None:
+    """Checkpoint a :class:`~mrt_tpu.dist.sharding.DistributedRenderer` —
+    the pod-scale analog of :func:`save` (a long dp-sharded accumulation is
+    exactly where resume matters). Sharded state is gathered to host; the
+    camera comes from the Scene's orbit parameters, as in draw()."""
+    state = dict(
+        version=FORMAT_VERSION,
+        scene_fingerprint=np.asarray(
+            [
+                dr.scene_data.positions_obj.shape[0],
+                dr.scene_data.indices.shape[0],
+                len(dr.statics.skin_slices),
+            ],
+            np.int64,
+        ),
+        accum=np.asarray(dr.accum),
+        motion=np.asarray(dr.motion),
+        depth=np.asarray(dr.depth),
+        step_hint=np.asarray(dr.step_hint),
+        offsets=np.asarray(dr.offsets),
+        frame_index=dr.frame_index,
+        prev_camera=np.stack([np.asarray(x) for x in dr._previous_camera])
+        if dr._previous_camera is not None
+        else np.zeros((0, 3), np.float32),
+        joint_matrices=np.concatenate(
+            [np.asarray(m).reshape(-1, 4, 4) for m in dr._joint_matrices]
+        )
+        if dr._joint_matrices
+        else np.zeros((0, 4, 4), np.float32),
+    )
+    np.savez_compressed(path, **state)
+
+
+def restore_dist(dr, path: str) -> None:
+    """Load :func:`save_dist` state into a DistributedRenderer over the same
+    scene/settings (any mesh shape — state re-commits to ITS shardings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.types import Camera
+
+    z = np.load(path, allow_pickle=False)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {int(z['version'])} != {FORMAT_VERSION}")
+    fp = tuple(int(x) for x in z["scene_fingerprint"])
+    here = (
+        int(dr.scene_data.positions_obj.shape[0]),
+        int(dr.scene_data.indices.shape[0]),
+        len(dr.statics.skin_slices),
+    )
+    if fp != here:
+        raise ValueError(
+            f"checkpoint scene fingerprint {fp} != renderer scene {here}")
+    if z["accum"].shape != tuple(dr.accum.shape):
+        raise ValueError(
+            f"checkpoint resolution {z['accum'].shape} != {tuple(dr.accum.shape)}")
+    dr.accum = jax.device_put(jnp.asarray(z["accum"]), dr._img_sharded)
+    dr.motion = jax.device_put(jnp.asarray(z["motion"]), dr._img_sharded)
+    dr.depth = jnp.asarray(z["depth"])
+    dr.step_hint = jax.device_put(jnp.asarray(z["step_hint"]), dr._row_sharded)
+    dr.offsets = jax.device_put(jnp.asarray(z["offsets"]), dr._row_sharded)
+    dr.frame_index = int(z["frame_index"])
+    if z["prev_camera"].shape[0] == 4:
+        pc = z["prev_camera"]
+        dr._previous_camera = Camera(
+            jnp.asarray(pc[0]), jnp.asarray(pc[1]), jnp.asarray(pc[2]),
+            jnp.asarray(pc[3]))
+    jm = z["joint_matrices"]
+    if jm.shape[0] and dr._joint_matrices:
+        out = []
+        k = 0
+        for m in dr._joint_matrices:
+            n = m.shape[0]
+            out.append(jnp.asarray(jm[k : k + n]))
+            k += n
+        dr._joint_matrices = tuple(out)

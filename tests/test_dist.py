@@ -303,3 +303,25 @@ def test_dp_staged_hint_threading_and_prepare_cache():
     assert dr.accum.sharding.is_equivalent_to(dr._img_sharded, dr.accum.ndim)
     assert dr.step_hint.sharding.is_equivalent_to(
         dr._row_sharded, dr.step_hint.ndim)
+
+
+def test_dp_checkpoint_roundtrip(tmp_path):
+    """save_dist/restore_dist: a resumed dp-sharded accumulation must
+    continue bit-identically to an uninterrupted one."""
+    from mrt_tpu.engine import checkpoint as ckpt
+
+    w = h = 32
+    mesh = make_mesh(n_devices=4, sp=1)
+    dr = DistributedRenderer(_scene(w, h), _settings(w, h), mesh=mesh)
+    dr.draw()
+    dr.draw()
+    path = tmp_path / "dist.npz"
+    ckpt.save_dist(dr, str(path))
+    dr.draw()
+    uninterrupted = np.asarray(dr.accum)
+
+    dr2 = DistributedRenderer(_scene(w, h), _settings(w, h), mesh=mesh)
+    ckpt.restore_dist(dr2, str(path))
+    assert dr2.frame_index == 2
+    dr2.draw()
+    np.testing.assert_array_equal(np.asarray(dr2.accum), uninterrupted)
