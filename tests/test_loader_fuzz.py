@@ -187,3 +187,36 @@ def test_hdr_fuzz_returns_none_or_image(tmp_path):
         p.write_bytes(bytes(b))
         out = load_hdr(str(p))
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_python_obj_mtl_fuzz_fails_controlled(tmp_path):
+    """The pure-Python OBJ/MTL fallback (used when the native library is
+    absent) gets the same malformed-input contract as the native path."""
+    from mrt_tpu.assets.obj import load_mtl, load_obj
+
+    valid = b"v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\nvn 0 0 1\nf 1/1/1 2/1/1 3/1/1\n"
+    rng = np.random.default_rng(13)
+    p = tmp_path / "x.obj"
+    cases = [valid[:c] for c in range(0, len(valid), 3)]
+    for _ in range(120):
+        b = bytearray(valid)
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    cases += [b"f 99 98 97\n", b"f -99 -98 -97\n", b"f 1/2/3/4/5\n",
+              b"v nan inf -inf\nf 1 1 1\n"]
+    for c in cases:
+        p.write_bytes(c)
+        try:
+            load_obj(p)
+        except CONTROLLED + (UnicodeDecodeError,):
+            pass
+
+    m = tmp_path / "x.mtl"
+    mtl_valid = b"newmtl a\nKd 0.5 0.5 0.5\nmap_Kd missing.png\nNs 10\n"
+    for c in ([mtl_valid[:k] for k in range(0, len(mtl_valid), 5)]
+              + [b"Kd\n", b"newmtl\n", b"illum x\n"]):
+        m.write_bytes(c)
+        try:
+            load_mtl(m)
+        except CONTROLLED + (UnicodeDecodeError,):
+            pass
