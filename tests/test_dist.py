@@ -2,11 +2,16 @@
 sharded vs single-chip equivalence)."""
 
 import dataclasses
+import os
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from mrt_tpu.core import halton as H
 from mrt_tpu.core import types as T
@@ -325,3 +330,59 @@ def test_dp_checkpoint_roundtrip(tmp_path):
     assert dr2.frame_index == 2
     dr2.draw()
     np.testing.assert_array_equal(np.asarray(dr2.accum), uninterrupted)
+
+
+def test_sp_equals_mean_of_sample_windows():
+    """EXACT sp semantics: an sp=2 frame's image equals the pmean of the two
+    shards' disjoint Halton windows — reproduced here by running the
+    single-chip trace twice with the shards' sample_bases and averaging.
+    Pins the (frame_index * sp + sp_rank) * sample_stride contract."""
+    import jax.numpy as jnp
+
+    from mrt_tpu.core import types as T
+    from mrt_tpu.engine import scene as scene_mod
+    from mrt_tpu.render import wavefront as wf
+
+    w = h = 32
+    dr = DistributedRenderer(_scene(w, h), _settings(w, h),
+                             mesh=make_mesh(n_devices=2, sp=2))
+    sharded = np.asarray(dr.draw())  # frame 0: accumulate() passes color thru
+
+    settings = dr.settings
+    import dataclasses
+    settings = dataclasses.replace(settings, hit_priming=False)
+    scene2, geom, bvh2 = dr._prep(dr.scene_data, dr.bvh, dr.skin_bundle,
+                                  dr._joint_matrices)
+    cam = T.orbit_camera(w, h, dr.scene.camera_target,
+                         dr.scene.camera_azimuth, dr.scene.camera_elevation,
+                         dr.scene.camera_distance, dr.scene.camera_fov_degrees)
+    uniforms = T.make_frame_uniforms(camera=cam, frame_index=0)
+    stride = settings.sample_stride
+    colors = []
+    for rank in (0, 1):
+        out = wf.trace_block(settings, dr.statics, scene2, bvh2, geom,
+                             uniforms, dr.offsets,
+                             jnp.zeros((h, w, 2), jnp.float32),
+                             sample_base=rank * stride)
+        colors.append(np.asarray(out.color))
+    expect = (colors[0] + colors[1]) / 2
+    np.testing.assert_allclose(sharded, expect, atol=1e-6)
+
+
+def test_bench_multichip_cpu_smoke():
+    """The driver-facing multichip bench harness runs end-to-end on the
+    virtual CPU mesh and prints a schema-correct JSON line."""
+    import json as _json
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run(
+        [sys.executable, "scripts/bench_multichip.py", "--dp", "2",
+         "--width", "64", "--height", "64", "--frames", "1",
+         "--skip-single"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+    assert p.returncode == 0, p.stderr[-800:]
+    line = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "Mrays/s" and line["value"] > 0
+    assert line["detail"]["mesh"] == {"dp": 2, "sp": 1}
