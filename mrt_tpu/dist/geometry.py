@@ -249,3 +249,111 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh,
                      prev_motion, skin_bundle, joint_matrices, atlas_bands)
 
     return jax.jit(step)
+
+
+class GeometryShardedRenderer:
+    """Frame driver for the gp-sharded path — the BVH-larger-than-HBM
+    configuration (SURVEY.md §5.7). Mirrors `sharding.DistributedRenderer`:
+    builds the equal-shape BVH shards (+ optional banded atlas) once,
+    commits every repeated step input to an explicit NamedSharding
+    (PERF.md round 5j: uncommitted args re-place synchronously per call),
+    and exposes the same `draw()` loop.
+
+    Mesh: ('gp',) by default, or a combined ('dp', 'gp') mesh for the
+    aggregate-scaling configuration.
+    """
+
+    def __init__(self, scene, settings: T.RenderSettings, mesh: Mesh | None = None,
+                 banded: bool | None = None, seed: int = 0):
+        from jax.sharding import NamedSharding
+
+        from ..core import halton as H
+
+        if mesh is None:
+            devs = np.asarray(jax.devices())
+            mesh = Mesh(devs, ("gp",))
+        self.mesh = mesh
+        self.scene = scene
+        self.settings = settings
+        self.scene_data, self.statics = scene.compile()
+        n_gp = mesh.shape["gp"]
+
+        # world-space triangles for the shard builder (instance transforms
+        # applied host-side once; refit re-derives per frame in-program)
+        sd = self.scene_data
+        idx = np.asarray(sd.indices)
+        pos = np.asarray(sd.positions_obj)
+        tfm = np.asarray(sd.instance_transform)[np.asarray(sd.vertex_instance)]
+        pw = np.einsum("vij,vj->vi", tfm[:, :3, :3], pos) + tfm[:, :3, 3]
+        v0, v1, v2 = pw[idx[:, 0]], pw[idx[:, 1]], pw[idx[:, 2]]
+        bvhs, gids, row_gids, _ = build_sharded_bvhs(v0, v1, v2, n_gp)
+
+        if banded is None:
+            banded = getattr(sd, "atlas", None) is not None
+        self.banded = banded
+        bands = None
+        if banded:
+            from ..assets import texture as tex
+
+            bands = tex.band_atlas(sd.atlas, n_gp)
+
+        self.step = build_gp_render_step(settings, self.statics, mesh,
+                                         banded=banded)
+
+        gp_sh = NamedSharding(mesh, P("gp"))
+        rep = NamedSharding(mesh, P())
+        has_dp = "dp" in mesh.shape
+        row_sh = NamedSharding(mesh, P("dp", None)) if has_dp else rep
+        img_sh = NamedSharding(mesh, P("dp", None, None)) if has_dp else rep
+        self._row_sharded, self._img_sharded = row_sh, img_sh
+        self.bvhs = jax.device_put(bvhs, gp_sh)
+        self.gids = jax.device_put(gids, gp_sh)
+        self.row_gids = jax.device_put(row_gids, gp_sh)
+        self.atlas_bands = (jax.device_put(bands, gp_sh)
+                            if bands is not None else None)
+        self.scene_data = jax.device_put(self.scene_data, rep)
+
+        h, w = settings.height, settings.width
+        key = jax.random.PRNGKey(seed)
+        self.offsets = jax.device_put(H.make_pixel_offsets(key, h, w), row_sh)
+        self.accum = jax.device_put(jnp.zeros((h, w, 3), jnp.float32), img_sh)
+        self.motion = jax.device_put(jnp.zeros((h, w, 2), jnp.float32), img_sh)
+        self.depth = jnp.full((h, w), 1.0e8, jnp.float32)
+        self.frame_index = 0
+        self._previous_camera = None
+        self.skin_bundle = jax.device_put(
+            getattr(scene, "skin_bundle", ()), rep)
+        self._joint_matrices = jax.device_put(tuple(
+            jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                     (scene.models[i].skin.rest_joints.shape[0], 1, 1))
+            for i, _, _ in self.statics.skin_slices), rep)
+
+    def set_joint_matrices(self, mats: tuple):
+        from jax.sharding import NamedSharding
+
+        self._joint_matrices = jax.device_put(
+            mats, NamedSharding(self.mesh, P()))
+
+    def draw(self):
+        from jax.sharding import NamedSharding
+
+        camera = T.orbit_camera(
+            self.settings.width, self.settings.height,
+            self.scene.camera_target, self.scene.camera_azimuth,
+            self.scene.camera_elevation, self.scene.camera_distance,
+            self.scene.camera_fov_degrees,
+        )
+        uniforms = jax.device_put(T.make_frame_uniforms(
+            camera=camera,
+            previous_camera=self._previous_camera or camera,
+            frame_index=self.frame_index,
+        ), NamedSharding(self.mesh, P()))
+        self.accum, self.depth, self.motion = self.step(
+            self.scene_data, self.bvhs, uniforms, self.offsets, self.accum,
+            self.motion, skin_bundle=self.skin_bundle,
+            joint_matrices=self._joint_matrices, gids=self.gids,
+            row_gids=self.row_gids, atlas_bands=self.atlas_bands,
+        )
+        self.frame_index += 1
+        self._previous_camera = camera
+        return self.accum

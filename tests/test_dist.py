@@ -386,3 +386,28 @@ def test_bench_multichip_cpu_smoke():
     line = _json.loads(p.stdout.strip().splitlines()[-1])
     assert line["metric"] == "Mrays/s" and line["value"] > 0
     assert line["detail"]["mesh"] == {"dp": 2, "sp": 1}
+
+
+def test_gp_renderer_driver_matches_single_chip():
+    """GeometryShardedRenderer (the gp frame driver, round 5): two frames
+    over a gp=4 mesh match the single-chip Renderer's accumulation."""
+    from jax.sharding import Mesh
+
+    from mrt_tpu.dist.geometry import GeometryShardedRenderer
+
+    w = h = 32
+    r = Renderer(_scene(w, h), output_width=w, output_height=h)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = 1
+    r.max_bounces = 2
+    r.use_motion_adaptive_sampling = False
+    r._allocate_state()
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("gp",))
+    gr = GeometryShardedRenderer(_scene(w, h), _settings(w, h), mesh=mesh)
+    object.__setattr__(r, "offsets", jax.device_get(gr.offsets))
+    for _ in range(2):
+        single = np.asarray(r.draw())
+        sharded = np.asarray(gr.draw())
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    assert gr.frame_index == 2
