@@ -216,7 +216,14 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh,
         out = wf.trace_block(settings, statics, scene, bvh, geom, uniforms,
                              offsets, prev_motion, y0=y0)
         accum = acc.accumulate(settings, uniforms, out.color, out.motion, prev_motion, prev_accum)
-        return accum, out.depth, out.motion
+        # honest instrumented ray count (bench_multichip --gp): rays are
+        # REPLICATED across gp (pmean, not psum — every gp chip traces the
+        # same rays), summed across dp row blocks; f32 as in sharding.py
+        rays = jnp.sum(out.rays_traced.astype(jnp.int32)).astype(jnp.float32)
+        rays = jax.lax.pmean(rays, "gp")
+        if has_dp:
+            rays = jax.lax.psum(rays, "dp")
+        return accum, out.depth, out.motion, rays
 
     rowspec = P("dp", None) if has_dp else P()
     imgspec = P("dp", None, None) if has_dp else P()
@@ -225,7 +232,7 @@ def build_gp_render_step(settings: T.RenderSettings, statics, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(), P("gp"), P("gp"), P("gp"), P(), rowspec, imgspec,
                   imgspec, P(), P(), P("gp")),
-        out_specs=(imgspec, rowspec, imgspec),
+        out_specs=(imgspec, rowspec, imgspec, P()),
         check_vma=False,
     )
 
@@ -348,12 +355,13 @@ class GeometryShardedRenderer:
             previous_camera=self._previous_camera or camera,
             frame_index=self.frame_index,
         ), NamedSharding(self.mesh, P()))
-        self.accum, self.depth, self.motion = self.step(
+        self.accum, self.depth, self.motion, rays = self.step(
             self.scene_data, self.bvhs, uniforms, self.offsets, self.accum,
             self.motion, skin_bundle=self.skin_bundle,
             joint_matrices=self._joint_matrices, gids=self.gids,
             row_gids=self.row_gids, atlas_bands=self.atlas_bands,
         )
+        self.last_rays_traced = rays
         self.frame_index += 1
         self._previous_camera = camera
         return self.accum

@@ -77,6 +77,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp", type=int, default=0, help="0 = all devices / sp")
     ap.add_argument("--sp", type=int, default=1)
+    ap.add_argument("--gp", type=int, default=0,
+                    help="geometry-sharded mode over a ('gp',) mesh of N "
+                         "chips (BVH > HBM configuration) instead of dp x sp")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--frames", type=int, default=3)
@@ -90,6 +93,36 @@ def main():
 
     devices = jax.devices()
     platform = devices[0].platform
+
+    if args.gp:
+        from jax.sharding import Mesh
+        import numpy as np
+
+        from mrt_tpu.dist.geometry import GeometryShardedRenderer
+        from mrt_tpu.engine.appscene import make_app_scene
+        from mrt_tpu.engine.renderer import Renderer, UPSCALER_OFF
+
+        n = min(args.gp, len(devices))
+        scene = make_app_scene(width=args.width, height=args.height,
+                               include_robot=False)
+        r = Renderer(scene, output_width=args.width, output_height=args.height)
+        r.upscaler_mode = UPSCALER_OFF
+        r.samples_per_pixel = 2
+        r.max_bounces = 4
+        r.use_motion_adaptive_sampling = False
+        gr = GeometryShardedRenderer(
+            scene, r.settings(), mesh=Mesh(np.asarray(devices[:n]), ("gp",)))
+        rays, secs = _time_frames(gr, args.frames)
+        mrays = rays / secs / 1e6
+        print(json.dumps({
+            "metric": "Mrays/s", "value": round(mrays, 3), "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 200.0, 5),
+            "detail": {"platform": platform, "mesh": {"gp": n},
+                       "resolution": f"{args.width}x{args.height}",
+                       "spp": 2, "bounces": 4, "frames": args.frames,
+                       "total_rays": rays, "seconds": round(secs, 3)},
+        }))
+        return
     n = args.dp * args.sp if args.dp else len(devices)
     n = min(n, len(devices))
     # dp must divide the height; trim to the largest feasible count

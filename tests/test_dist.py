@@ -143,7 +143,7 @@ def test_geometry_sharded_matches_single_chip():
     from mrt_tpu.core import types as T
 
     uniforms = T.make_frame_uniforms(camera=cam, frame_index=0)
-    accum, depth, motion = step(
+    accum, depth, motion, _rays = step(
         data, bvhs, uniforms, r.offsets,
         jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w, 2), jnp.float32),
         gids=gids, row_gids=row_gids,
@@ -241,7 +241,7 @@ def test_gp_banded_atlas_matches_single_chip():
     step = G.build_gp_render_step(settings, statics, mesh, banded=True)
     cam = r.current_camera()
     uniforms = T.make_frame_uniforms(camera=cam, frame_index=0)
-    accum, depth, motion = step(
+    accum, depth, motion, _rays = step(
         data, bvhs, uniforms, r.offsets,
         jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w, 2), jnp.float32),
         gids=gids, row_gids=row_gids, atlas_bands=bands,
@@ -281,7 +281,7 @@ def test_dp_gp_combined_mesh_matches_single_chip():
 
     step = G.build_gp_render_step(settings, statics, mesh, banded=True)
     uniforms = T.make_frame_uniforms(camera=r.current_camera(), frame_index=0)
-    accum, depth, motion = step(
+    accum, depth, motion, _rays = step(
         data, bvhs, uniforms, r.offsets,
         jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w, 2), jnp.float32),
         gids=gids, row_gids=row_gids, atlas_bands=bands,
