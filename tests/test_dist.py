@@ -411,3 +411,27 @@ def test_gp_renderer_driver_matches_single_chip():
         sharded = np.asarray(gr.draw())
     np.testing.assert_allclose(sharded, single, atol=1e-5)
     assert gr.frame_index == 2
+
+
+def test_gp_renderer_driver_combined_dp_gp_mesh():
+    """The gp frame driver on a combined ('dp','gp') mesh — the
+    aggregate-scaling configuration — still matches single-chip."""
+    from jax.sharding import Mesh
+
+    from mrt_tpu.dist.geometry import GeometryShardedRenderer
+
+    w = h = 32
+    r = Renderer(_scene(w, h), output_width=w, output_height=h)
+    r.upscaler_mode = UPSCALER_OFF
+    r.samples_per_pixel = 1
+    r.max_bounces = 2
+    r.use_motion_adaptive_sampling = False
+    r._allocate_state()
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "gp"))
+    gr = GeometryShardedRenderer(_scene(w, h), _settings(w, h), mesh=mesh)
+    object.__setattr__(r, "offsets", jax.device_get(gr.offsets))
+    single = np.asarray(r.draw())
+    sharded = np.asarray(gr.draw())
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    assert float(gr.last_rays_traced) > 0

@@ -44,8 +44,10 @@ COMBOS = [
     # docs/PERF.md round 4d)
     {"MRT_PASSES": "2", "MRT_PASSCAP": "8", "MRT_TWOLEVEL": "0"},
     {"MRT_ROW": "64", "MRT_ARITY": "8", "MRT_LEAF_K": "6"},
-    # band-only partition sort (counting inverse; round 5) — bit-exact
+    # band-only partition sort (counting inverse; round 5) — bit-exact,
+    # on both the two-level default and the flat path
     {"MRT_BANDSORT": "1"},
+    {"MRT_BANDSORT": "1", "MRT_TWOLEVEL": "0"},
     # tail-aware DP collapse weight (round 5a, banked negative but the
     # builder path must stay correct): different tree, same image
     {"MRT_COLLAPSE_GAMMA": "1.25"},
