@@ -108,15 +108,21 @@ def main():
     r.max_bounces = 2
     import jax
 
-    r.draw()
-    r.output_image()  # compile the presenter chain outside the timed loop
-    jax.block_until_ready(r.accum)
+    from mrt_tpu.upscale.presenter import present_device
+
+    # device-side present, NO per-frame D2H (a readback serializes every
+    # later dispatch on the axon tunnel — the old loop measured 0.27 fps
+    # where the fps_report pattern measures ~0.69, PERF.md 5e/5k)
+    r.draw(1 / 60)
+    img = present_device(r)
+    jax.block_until_ready(img)
     t0 = time.time()
     n = 4
     for _ in range(n):
         r.orbit(2.0, 0.0)
         r.draw(1 / 60)
-        img = r.output_image()
+        img = present_device(r)
+    jax.block_until_ready(img)
     dt = time.time() - t0
     results["config5_interactive_upscaled"] = dict(
         fps=round(n / dt, 2), frame_ms=round(dt / n * 1e3, 1), output=f"{w5}x{h5}"
